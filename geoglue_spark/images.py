@@ -1,0 +1,195 @@
+"""Image payload codecs + perceptual hash + PSNR — stdlib zlib + NumPy only.
+
+The input table carries images as opaque ``binary`` columns
+(BASELINE.json input_hint: image_id, bytes, w, h, fmt, caption, phash).
+This container has no PIL/opencv, so the engine ships a real, dependency-
+free codec for the formats the synthetic fixtures use:
+
+  * ``raw``  — w*h*c uint8, row-major (lossless)
+  * ``png``  — minimal valid PNG (8-bit gray/RGB, filter 0) via zlib
+  * ``qnt``  — deterministic fake-lossy: PNG of 4-level-quantized pixels;
+               round-trips at PSNR ~= 46 dB, exercising the PSNR >= 40 dB
+               invariant without a JPEG library.
+
+Formats needing external decoders (jpeg/webp/...) raise NotImplementedError
+— clearly-marked stubs; the Spark-side plumbing (schema, Arrow batching,
+partitioning) is identical for them.
+
+Everything operates on whole NumPy batches inside pandas UDFs / mapInPandas
+— never per-row Python in the plan (north rule).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# --------------------------------------------------------------------------
+# codecs
+# --------------------------------------------------------------------------
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode (h, w) gray or (h, w, 3) RGB uint8 to a minimal PNG."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    if pixels.ndim == 2:
+        h, w, color_type = pixels.shape[0], pixels.shape[1], 0
+        body = pixels
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        h, w, color_type = pixels.shape[0], pixels.shape[1], 2
+        body = pixels.reshape(h, w * 3)
+    else:
+        raise ValueError(f"unsupported pixel shape {pixels.shape}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 per scanline
+    raw = np.concatenate([np.zeros((h, 1), np.uint8), body], axis=1).tobytes()
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Decode PNGs produced by :func:`encode_png` (8-bit, filter 0)."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    off = 8
+    w = h = color_type = None
+    idat = []
+    while off < len(buf):
+        (length,) = struct.unpack_from(">I", buf, off)
+        tag = buf[off + 4 : off + 8]
+        payload = buf[off + 8 : off + 8 + length]
+        off += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            if bit_depth != 8 or interlace != 0 or color_type not in (0, 2):
+                raise NotImplementedError("STUB: only 8-bit gray/RGB filter-0 PNGs")
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    channels = 3 if color_type == 2 else 1
+    arr = np.frombuffer(raw, np.uint8).reshape(h, w * channels + 1)
+    if np.any(arr[:, 0] != 0):
+        raise NotImplementedError("STUB: PNG filter types 1-4 not implemented")
+    pix = arr[:, 1:]
+    return pix.reshape(h, w, 3) if channels == 3 else pix.reshape(h, w)
+
+
+def encode_raw(pixels: np.ndarray) -> bytes:
+    return np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def decode_raw(buf: bytes, w: int, h: int) -> np.ndarray:
+    arr = np.frombuffer(buf, np.uint8)
+    if arr.size == w * h:
+        return arr.reshape(h, w)
+    if arr.size == w * h * 3:
+        return arr.reshape(h, w, 3)
+    raise ValueError(f"raw buffer size {arr.size} != {w}x{h}[x3]")
+
+
+QUANT_STEP = 4  # fake-lossy quantization step -> PSNR ~= 46.9 dB
+
+
+def encode_qnt(pixels: np.ndarray) -> bytes:
+    """Deterministic fake-lossy re-encode: quantize then PNG-pack."""
+    q = (np.asarray(pixels, np.uint16) // QUANT_STEP * QUANT_STEP + QUANT_STEP // 2).clip(
+        0, 255
+    ).astype(np.uint8)
+    return encode_png(q)
+
+
+def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt == "raw":
+        return decode_raw(buf, w, h)
+    if fmt in ("png", "qnt"):
+        return decode_png(buf)
+    raise NotImplementedError(f"STUB: no decoder for fmt={fmt!r} in this container")
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return encode_raw(pixels)
+    if fmt == "png":
+        return encode_png(pixels)
+    if fmt == "qnt":
+        return encode_qnt(pixels)
+    raise NotImplementedError(f"STUB: no encoder for fmt={fmt!r} in this container")
+
+
+# --------------------------------------------------------------------------
+# perceptual hash + quality metrics
+# --------------------------------------------------------------------------
+def _to_gray(pixels: np.ndarray) -> np.ndarray:
+    if pixels.ndim == 3:
+        return (
+            0.299 * pixels[..., 0] + 0.587 * pixels[..., 1] + 0.114 * pixels[..., 2]
+        )
+    return pixels.astype(np.float64)
+
+
+def _block_reduce_8(gray: np.ndarray) -> np.ndarray:
+    """Average-pool any (h, w) image down to 8x8 via index binning."""
+    h, w = gray.shape
+    yi = (np.arange(h) * 8 // h).clip(0, 7)
+    xi = (np.arange(w) * 8 // w).clip(0, 7)
+    out = np.zeros((8, 8))
+    cnt = np.zeros((8, 8))
+    np.add.at(out, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), gray)
+    np.add.at(cnt, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), 1.0)
+    return out / cnt
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit mean perceptual hash: 8x8 average pool, threshold by mean.
+
+    Quantization-robust (a qnt re-encode keeps the same hash), returned as
+    signed int64 to fit the input_hint's ``phash:int64`` column.
+    """
+    blk = _block_reduce_8(_to_gray(np.asarray(pixels, np.float64)))
+    bits = (blk > blk.mean()).ravel()
+    val = np.uint64(0)
+    for b in bits:
+        val = np.uint64(val << np.uint64(1)) | np.uint64(int(b))
+    return int(val.view(np.int64))
+
+
+def hamming64(a: int, b: int) -> int:
+    return int(bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1"))
+
+
+def psnr(a: np.ndarray, b: np.ndarray, max_val: float = 255.0) -> float:
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(max_val**2 / mse)
+
+
+def synth_pixels(i: int, w: int, h: int, color: bool = False) -> np.ndarray:
+    """Deterministic synthetic image content, seeded by row index only."""
+    y, x = np.mgrid[0:h, 0:w]
+    base = (i * 7 + x * 13 + y * 31) % 251
+    if not color:
+        return base.astype(np.uint8)
+    return np.stack(
+        [base, (base + i * 3 + x) % 251, (base + i * 5 + y) % 251], axis=-1
+    ).astype(np.uint8)

@@ -1,0 +1,117 @@
+"""Admin assignment — join J1: point/pixel -> admin polygon.
+
+Two-stage spatial join (SURVEY.md §2.3 J1, replacing the reference's
+exactextract call at src/geoglue/zonalstats.py:44-62):
+
+  1. COARSE (shuffle-free): the fact table computes its grid cell id as a
+     pure JVM arithmetic column and broadcast-hash-joins the compact
+     ``cell_id -> (admin_id, interior)`` cover table. Interior-cell hits are
+     final — no Python runs for them (the overwhelming majority: for
+     1-degree admins on a 0.04-degree grid, ~95 % of cells are interior).
+  2. REFINE (map-side, Arrow): boundary-cell candidates go through a
+     vectorized NumPy ray-cast pandas UDF against the polygon set shipped
+     once per executor as a Spark broadcast variable.
+
+No shuffle anywhere in the join itself; the only shuffle in an
+assignment+aggregation pipeline is the final groupBy — which Spark
+partial-aggregates map-side. This is the property that holds at 100 TB:
+cost is one scan + one broadcast + one partial-agg shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geometry import wkb_to_rings
+from ..grids import Grid
+from ..pip import PreparedGeom, points_in_geom
+
+# per-executor cache: broadcast id -> {admin_id: PreparedGeom}
+_PREP_CACHE: dict[int, dict[str, PreparedGeom]] = {}
+
+
+def _prepared(bc, admin_id: str) -> PreparedGeom:
+    cache = _PREP_CACHE.setdefault(id(bc), {})
+    prep = cache.get(admin_id)
+    if prep is None:
+        prep = PreparedGeom(wkb_to_rings(bc.value[admin_id]))
+        cache[admin_id] = prep
+    return prep
+
+
+def make_pip_udf(spark: SparkSession, admin_wkb: dict[str, bytes]):
+    """Boolean pandas UDF ``inside(admin_id, lon, lat)``.
+
+    Polygons ship once per executor via a broadcast variable; within each
+    Arrow batch, rows are grouped by admin and each group is tested in one
+    vectorized NumPy ray-cast (no per-row Python)."""
+    bc = spark.sparkContext.broadcast(admin_wkb)
+
+    @F.pandas_udf(T.BooleanType())
+    def pip_udf(admin_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = np.zeros(len(admin_id), dtype=bool)
+        lon_np = lon.to_numpy(np.float64)
+        lat_np = lat.to_numpy(np.float64)
+        for aid, idx in admin_id.groupby(admin_id).groups.items():
+            ii = np.asarray(idx)
+            out[ii] = points_in_geom(lon_np[ii], lat_np[ii], _prepared(bc, aid))
+        return pd.Series(out)
+
+    return pip_udf
+
+
+def with_cell_id(
+    df: DataFrame, grid: Grid, lon_col: str = "lon", lat_col: str = "lat"
+) -> DataFrame:
+    return df.withColumn("cell_id", grid.cell_id_col(F.col(lon_col), F.col(lat_col)))
+
+
+def assign_admin(
+    points: DataFrame,
+    cover: DataFrame,
+    admin_wkb: dict[str, bytes],
+    grid: Grid,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    unique_on: str | None = None,
+) -> DataFrame:
+    """Assign each point row to the admin polygon containing it.
+
+    Returns the input columns + ``admin_id``. Points in no polygon are
+    dropped (inner semantics, like exact_extract ignoring outside cells).
+
+    ``unique_on``: optional point-id column; when set, a point that lands in
+    several polygons (measure-zero shared-edge case) keeps the smallest
+    admin_id — deterministic across parallelism levels. Costs one extra
+    shuffle, so leave None for continuous coordinates.
+    """
+    spark = points.sparkSession
+    pts = with_cell_id(points, grid, lon_col, lat_col)
+    cov = F.broadcast(cover.select("cell_id", "admin_id", "interior"))
+    cand = pts.join(cov, "cell_id", "inner")
+
+    interior = cand.filter(F.col("interior"))
+    boundary = cand.filter(~F.col("interior"))
+    pip_udf = make_pip_udf(spark, admin_wkb)
+    refined = boundary.filter(pip_udf(F.col("admin_id"), F.col(lon_col), F.col(lat_col)))
+
+    out_cols = [c for c in points.columns] + ["admin_id"]
+    assigned = interior.select(*out_cols).unionByName(refined.select(*out_cols))
+
+    if unique_on is not None:
+        others = [c for c in out_cols if c != unique_on and c != "admin_id"]
+        assigned = assigned.groupBy(unique_on, *others).agg(
+            F.min("admin_id").alias("admin_id")
+        )
+    return assigned
+
+
+def assign_admin_sql_plan(points_with_admin: DataFrame) -> str:
+    """Human-readable physical plan for tuning (BroadcastHashJoin check)."""
+    return points_with_admin._jdf.queryExecution().explainString("formatted")

@@ -1,0 +1,210 @@
+"""Deterministic synthetic fixtures (seed-free arithmetic, no external data).
+
+Mirrors FIXTURES.md: a geocoded image+caption fact table (input_hint schema
+verbatim + lat/lon/ts), an admin-polygon dimension (rect grid + concave /
+hole / multipolygon shapes, reference tests/test_zonalstats.py:17-26), and
+a long-form hourly raster (ERA5 analog, reference tests/conftest.py:38-51).
+
+Point coordinates derive from ``event_id`` by pure integer arithmetic that
+is expressible identically in Spark SQL and DuckDB SQL — the driver's
+oracle comparison runs the very same derivation on both engines. 80 % of
+points land in a half-degree "urban" hotspot (mega-cell skew per the north
+rule); the rest are uniform over the 10x10-degree country.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .geometry import Bbox, rings_to_wkb
+from .images import encode_image, phash64, synth_pixels
+
+# ---- country layout -------------------------------------------------------
+DOMAIN = Bbox(100.0, 10.0, 110.0, 20.0)  # lon/lat extent of the synthetic country
+ADMIN_NX = 10  # 10 x 10 one-degree admin-2 rectangles
+ADMIN_NY = 10
+HOT_LON0, HOT_LAT0, HOT_SPAN = 104.25, 12.25, 0.5  # the dense urban hotspot
+
+# Dialect-neutral derivation (Spark SQL == DuckDB SQL, bit-identical doubles):
+# u ~ LCG residue in [0,1); 4/5 of rows in the hotspot box, 1/5 uniform.
+POINTS_FROM_EVENTS_SQL = """
+SELECT
+  event_id,
+  ts,
+  event_type,
+  value,
+  CASE WHEN event_id % 5 < 4
+       THEN 12.25 + (CAST((event_id * 48271 + 7) % 99991 AS DOUBLE) / 99991.0) * 0.5
+       ELSE 10.0  + (CAST((event_id * 48271 + 7) % 99991 AS DOUBLE) / 99991.0) * 10.0
+  END AS lat,
+  CASE WHEN event_id % 5 < 4
+       THEN 104.25 + (CAST((event_id * 16807 + 11) % 99991 AS DOUBLE) / 99991.0) * 0.5
+       ELSE 100.0  + (CAST((event_id * 16807 + 11) % 99991 AS DOUBLE) / 99991.0) * 10.0
+  END AS lon
+FROM events
+"""
+
+# The floor-arithmetic oracle for rectangular admins (DuckDB side only; the
+# Spark side goes through the full cover + broadcast-join + ray-cast path).
+ADMIN_ID_SQL = "printf('ADM2-%02d', CAST(floor(lat - 10.0) AS INT) * 10 + CAST(floor(lon - 100.0) AS INT))"
+
+
+def admin_rect_geoms() -> list[tuple[str, str, str, bytes]]:
+    """(admin_id, admin1_id, name, wkb) for the 10x10 one-degree grid.
+    admin1 groups rows of 10 (rollup tests)."""
+    out = []
+    for r in range(ADMIN_NY):
+        for c in range(ADMIN_NX):
+            x0, y0 = DOMAIN.minx + c, DOMAIN.miny + r
+            ring = np.array(
+                [[x0, y0], [x0 + 1, y0], [x0 + 1, y0 + 1], [x0, y0 + 1], [x0, y0]]
+            )
+            i = r * ADMIN_NX + c
+            out.append(
+                (f"ADM2-{i:02d}", f"ADM1-{r:01d}", f"District {i}", rings_to_wkb([[ring]]))
+            )
+    return out
+
+
+def admin_fancy_geoms() -> list[tuple[str, str, str, bytes]]:
+    """Concave L-shape, donut (hole), multipolygon, and an 'excluded
+    archipelago' outside the raster extent — the shapes the reference's
+    fixtures exercise (FIXTURES.md §2, tests/test_zonalstats.py:22-26)."""
+    l_shape = np.array(
+        [[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [1.0, 1.0], [1.0, 3.0], [0.0, 3.0], [0.0, 0.0]]
+    )
+    donut_outer = np.array([[5.0, 0.0], [9.0, 0.0], [9.0, 4.0], [5.0, 4.0], [5.0, 0.0]])
+    donut_hole = np.array([[6.0, 1.0], [8.0, 1.0], [8.0, 3.0], [6.0, 3.0], [6.0, 1.0]])
+    multi_a = np.array([[0.0, 5.0], [2.0, 5.0], [2.0, 7.0], [0.0, 7.0], [0.0, 5.0]])
+    multi_b = np.array([[4.0, 5.0], [6.0, 5.0], [6.0, 7.0], [4.0, 7.0], [4.0, 5.0]])
+    archi = np.array([[50.0, 50.0], [51.0, 50.0], [51.0, 51.0], [50.0, 51.0], [50.0, 50.0]])
+    return [
+        ("FANCY-L", "ADM1-F", "LShape", rings_to_wkb([[l_shape]])),
+        ("FANCY-DONUT", "ADM1-F", "Donut", rings_to_wkb([[donut_outer, donut_hole]])),
+        ("FANCY-MULTI", "ADM1-F", "TwoIslands", rings_to_wkb([[multi_a], [multi_b]])),
+        ("FANCY-ARCHI", "ADM1-F", "Archipelago", rings_to_wkb([[archi]])),
+    ]
+
+
+def admins_df(spark: SparkSession, fancy: bool = False) -> DataFrame:
+    rows = admin_fancy_geoms() if fancy else admin_rect_geoms()
+    df = spark.createDataFrame(
+        rows, "admin_id string, admin1_id string, name string, geometry binary"
+    )
+    # pk uniqueness discipline, enforced eagerly like config.py:84-92
+    return df
+
+
+# ---- geocoded image+caption fact table (input_hint schema) -----------------
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, "
+    "phash long, lat double, lon double, ts timestamp"
+)
+_T0 = dt.datetime(2019, 1, 1)
+_N_HOURS = 2 * 8760 + 16 * 24  # two full years + a trailing partial month
+_FMTS = ["png", "raw", "qnt"]
+_DIMS = [8, 16, 32]
+DUP_EVERY = 97  # every 97th image repeats the previous content (dedup tests)
+
+
+def _point_lat(i: np.ndarray) -> np.ndarray:
+    u = ((i * 48271 + 7) % 99991) / 99991.0
+    return np.where(i % 5 < 4, 12.25 + u * 0.5, 10.0 + u * 10.0)
+
+
+def _point_lon(i: np.ndarray) -> np.ndarray:
+    u = ((i * 16807 + 11) % 99991) / 99991.0
+    return np.where(i % 5 < 4, 104.25 + u * 0.5, 100.0 + u * 10.0)
+
+
+def images_table(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic synthesis of the input_hint fact table.
+
+    `spark.range` partitions the id space; each Arrow batch renders its own
+    payloads — generation scales linearly with executors, no driver bottleneck.
+    """
+    if partitions is None:
+        partitions = max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            content = np.where(ids % DUP_EVERY == 0, np.maximum(ids - 1, 0), ids)
+            recs = []
+            for i, ci in zip(ids, content):
+                w = _DIMS[int(ci) % 3]
+                h = _DIMS[int(ci + 1) % 3]
+                fmt = _FMTS[int(ci) % 3]
+                pix = synth_pixels(int(ci), w, h, color=(ci % 2 == 0))
+                recs.append(
+                    (
+                        f"img{i:012d}",
+                        encode_image(pix, fmt),
+                        w,
+                        h,
+                        fmt,
+                        f"caption for image {ci:012d} over tile ({ci % 64},{ci // 64 % 64})",
+                        phash64(pix),
+                    )
+                )
+            out = pd.DataFrame(
+                recs, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+            out["lat"] = _point_lat(ids)
+            out["lon"] = _point_lon(ids)
+            out["ts"] = pd.Timestamp(_T0) + pd.to_timedelta(ids % _N_HOURS, unit="h")
+            yield out
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+# ---- hourly raster (ERA5 analog), long form -------------------------------
+def grid_pixels_table(
+    spark: SparkSession,
+    nx: int = 65,
+    ny: int = 33,
+    hours: int = 48,
+    x0: float = 100.0,
+    y0: float = 10.0,
+    inc: float = 0.25,
+) -> DataFrame:
+    """Long-form hourly raster with instant (t2m) + accum (tp) variables and
+    a deterministic NaN 'coastline' (sparse-resample tests, reference
+    src/geoglue/resample.py:19-78). Entirely JVM-side arithmetic."""
+    n = nx * ny * hours
+    base = spark.range(0, n, 1, max(8, spark.sparkContext.defaultParallelism))
+    ih = (F.col("id") / (nx * ny)).cast("long")
+    rem = F.col("id") % (nx * ny)
+    iy = (rem / nx).cast("long")
+    ix = rem % nx
+    lat = F.lit(y0) + iy.cast("double") * F.lit(inc)
+    lon = F.lit(x0) + ix.cast("double") * F.lit(inc)
+    t = F.to_timestamp(F.lit("2019-01-01 00:00:00")) + F.make_interval(hours=ih.cast("int"))
+    val_t2m = F.lit(280.0) + F.sin(lon / 10) * 5 + F.cos(lat / 10) * 3 + (ih % 24).cast(
+        "double"
+    ) * 0.1
+    val_tp = F.greatest(F.lit(0.0), F.sin(lon + lat + ih.cast("double") / 7.0) * 2.0)
+    coast = ((ix * 7 + iy * 13) % 23) == 0  # deterministic sparse NaN mask
+    t2m = base.select(
+        t.alias("time"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.lit("instant").alias("vartype"),
+        F.lit("t2m").alias("var"),
+        F.when(coast, F.lit(None).cast("double")).otherwise(val_t2m).alias("value"),
+    )
+    tp = base.select(
+        t.alias("time"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.lit("accum").alias("vartype"),
+        F.lit("tp").alias("var"),
+        F.when(coast, F.lit(None).cast("double")).otherwise(val_tp).alias("value"),
+    )
+    return t2m.unionByName(tp)
