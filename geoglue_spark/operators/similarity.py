@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and a random-hyperplane
+LSH-bucketed variant as the scale path. The kernel is a NumPy matmul per
+Arrow batch against a broadcast query matrix; each batch emits only its
+LOCAL top-k per query, so the shuffle carries O(batches * k * n_queries)
+rows instead of the full n_candidates * n_queries cross product — the
+property that matters at 10^9 candidates.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def cosine_topk(
+    candidates: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k.
+
+    ``queries``: small (query_id, vector) list, shipped in the UDF closure
+    (broadcast by Spark). Deterministic ranking: (rounded sim DESC, id ASC)
+    — stable across partitionings and float reduction orders.
+    """
+    spark = candidates.sparkSession
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf[id_col].to_numpy(np.int64)
+            cmat = _normalize(
+                np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, np.float64)))
+            )
+            sims = cmat @ qmat.T  # (batch, n_queries)
+            if sim_decimals is not None:
+                sims = np.round(sims, sim_decimals)
+            kk = min(k, sims.shape[0])
+            # local top-k per query inside the batch
+            frames = []
+            for j, qid in enumerate(qids):
+                order = np.lexsort((cids, -sims[:, j]))[:kk]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cids[order],
+                            "sim": sims[order, j],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    local = candidates.select(id_col, vec_col).mapInPandas(
+        local_topk, "query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def hyperplane_signature_udf(dim: int, n_bits: int = 16, seed: int = 42):
+    """Random-hyperplane LSH signature (deterministic seed): sign pattern of
+    n_bits projections — cos-similar vectors collide with high probability."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((dim, n_bits))
+
+    @F.pandas_udf("long")
+    def sig(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.apply(lambda v: np.asarray(v, np.float64)))
+        bits = (m @ planes) > 0  # (n, n_bits)
+        vals = np.zeros(len(m), dtype=np.int64)
+        for b in range(n_bits):
+            vals |= bits[:, b].astype(np.int64) << b
+        return pd.Series(vals)
+
+    return sig
+
+
+def cosine_topk_lsh(
+    candidates: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 12,
+    probe_hamming: int = 2,
+    sim_decimals: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: only candidates whose hyperplane signature is
+    within ``probe_hamming`` bits of the query's signature are scored.
+
+    At scale this turns a full scan into a bucket-pruned scan: the
+    candidate table is pre-partitioned by signature (a write-once index),
+    and multiprobe expansion touches sum(C(n_bits, <=h)) buckets.
+    """
+    dim = len(queries[0][1])
+    sig_udf = hyperplane_signature_udf(dim, n_bits)
+    with_sig = candidates.withColumn("_sig", sig_udf(F.col(vec_col)))
+
+    rng = np.random.Generator(np.random.PCG64(42))
+    planes = rng.standard_normal((dim, n_bits))
+    q_sigs = {}
+    for qid, v in queries:
+        bits = (np.asarray(v, np.float64) @ planes) > 0
+        q_sigs[qid] = int(sum(int(b) << i for i, b in enumerate(bits)))
+
+    spark = candidates.sparkSession
+    qsig_df = F.broadcast(
+        spark.createDataFrame(
+            [(qid, s) for qid, s in q_sigs.items()], "query_id long, qsig long"
+        )
+    )
+    pruned = (
+        with_sig.join(
+            qsig_df,
+            F.bit_count(F.col("_sig").bitwiseXOR(F.col("qsig"))) <= probe_hamming,
+        )
+        .select(id_col, vec_col, "query_id")
+    )
+    # score only the pruned candidates, per query
+    out = []
+    for qid, v in queries:
+        sub = pruned.filter(F.col("query_id") == qid).drop("query_id")
+        out.append(
+            cosine_topk(sub, [(qid, v)], k, id_col, vec_col, sim_decimals)
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

@@ -1,0 +1,192 @@
+"""Calendar/timezone-correct time aggregation — W1/W2 + A3/A4/A5.
+
+Reproduces the reference's hourly->daily->ISO-weekly pipeline with
+instant/accumulated variable semantics:
+
+  * timezone shift (reference src/geoglue/cds.py:237-295): the reference
+    splices hours from the neighboring year's file then relabels; in Spark
+    the whole year lives in one table, so the shift is a single column
+    expression ``local_time = time + shift hours``.
+  * the accum -1 rule (cds.py:298-356): accumulated variables are labelled
+    at the END of their hour, so their local-time shift is ``shift - 1``
+    — the +-1 subtlety the reference tests pin down (tests/test_cds.py:272-289,
+    shift 8 -> instant 8 / accum 7 boundary hours).
+  * daily reduce with per-vartype allowed aggregations (cds.py:89-94,
+    enforcement cds.py:971-986): instant -> mean/min/max, accum -> sum.
+  * ISO-weekly reduce anchored on Mondays, label = week start
+    (cds.py:933-1016, anchors src/geoglue/util.py:106-117), with an
+    optional warm-up ``window`` of weeks prepended for rolling ops.
+
+All pure Column expressions — codegen'd, shuffle only at each groupBy.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+INSTANT_HOW = ("mean", "min", "max")
+ACCUM_HOW = ("sum",)
+_AGG = {"mean": F.avg, "min": F.min, "max": F.max, "sum": F.sum, "count": F.count}
+
+
+def parse_tz_offset(offset: str) -> int | None:
+    """'+05:00' -> 5; None for fractional offsets (reference cds.py:64-86)."""
+    sign = 1 if offset[0] != "-" else -1
+    hh, mm = offset.lstrip("+-").split(":")
+    if int(mm) != 0:
+        return None
+    return sign * int(hh)
+
+
+def local_time_col(
+    time_col: Column, shift_hours: int, vartype: Column | str | None = None
+) -> Column:
+    """UTC -> local-time column with the accum -1 rule.
+
+    ``vartype`` may be a column ('instant'|'accum') for mixed tables, the
+    literal strings, or None (instant semantics)."""
+    if vartype is None or vartype == "instant":
+        return time_col + F.make_interval(hours=F.lit(shift_hours))
+    if vartype == "accum":
+        return time_col + F.make_interval(hours=F.lit(shift_hours - 1))
+    vt = F.col(vartype) if isinstance(vartype, str) else vartype
+    return F.when(
+        vt == "accum", time_col + F.make_interval(hours=F.lit(shift_hours - 1))
+    ).otherwise(time_col + F.make_interval(hours=F.lit(shift_hours)))
+
+
+def with_local_time(
+    df: DataFrame,
+    shift_hours: int,
+    time_col: str = "time",
+    vartype_col: str | None = "vartype",
+    out_col: str = "local_time",
+) -> DataFrame:
+    if not -12 <= shift_hours <= 12:
+        raise ValueError(f"shift_hours must be in [-12, 12], got {shift_hours}")
+    vt = vartype_col if vartype_col in (df.columns if vartype_col else []) else None
+    return df.withColumn(out_col, local_time_col(F.col(time_col), shift_hours, vt))
+
+
+def _check_how(how: str, vartype: str | None) -> None:
+    if how not in _AGG:
+        raise ValueError(f"unknown aggregation {how!r}")
+    if vartype == "instant" and how not in INSTANT_HOW:
+        raise ValueError(f"instant variables allow {INSTANT_HOW}, got {how!r}")
+    if vartype == "accum" and how not in ACCUM_HOW:
+        raise ValueError(f"accum variables allow {ACCUM_HOW}, got {how!r}")
+
+
+def daily_reduce(
+    df: DataFrame,
+    how: str,
+    value_col: str = "value",
+    time_col: str = "local_time",
+    keys: list[str] = (),
+    vartype: str | None = None,
+) -> DataFrame:
+    """Hourly -> daily (A3). ``keys`` are the non-time dims (lat, lon, var…).
+    Output column keeps the value column's name; date column is ``date``."""
+    _check_how(how, vartype)
+    return (
+        df.groupBy(F.to_date(F.col(time_col)).alias("date"), *keys)
+        .agg(_AGG[how](F.col(value_col)).alias(value_col))
+    )
+
+
+def week_start_col(date_col: Column) -> Column:
+    """Monday of the ISO week containing the date (label='left' anchoring,
+    reference cds.py:1010-1016). weekday(): Mon=0..Sun=6."""
+    return F.date_sub(date_col, F.weekday(date_col))
+
+
+def first_monday(year: int) -> dt.date:
+    """First Monday of the year (reference util.py:106-108)."""
+    d = dt.date(year, 1, 1)
+    return d + dt.timedelta(days=(7 - d.weekday()) % 7)
+
+
+def last_sunday(year: int) -> dt.date:
+    """Last Sunday of the year (reference util.py:111-117)."""
+    d = dt.date(year, 12, 31)
+    return d - dt.timedelta(days=(d.weekday() + 1) % 7)
+
+
+def weekly_reduce(
+    daily: DataFrame,
+    how: str,
+    value_col: str = "value",
+    date_col: str = "date",
+    keys: list[str] = (),
+    vartype: str | None = None,
+    year: int | None = None,
+    window: int = 0,
+) -> DataFrame:
+    """Daily -> ISO-weekly (A4), Monday-anchored, left-labelled.
+
+    When ``year`` is set, keeps only whole weeks first-Monday..last-Sunday
+    of that year; ``window`` extends the start back that many weeks
+    (rolling warm-up, reference cds.py:939/1005-1014)."""
+    _check_how(how, vartype)
+    d = daily
+    if year is not None:
+        start = first_monday(year) - dt.timedelta(weeks=window)
+        end = last_sunday(year)
+        d = d.filter(
+            (F.col(date_col) >= F.lit(start)) & (F.col(date_col) <= F.lit(end))
+        )
+    return (
+        d.groupBy(week_start_col(F.col(date_col)).alias("week_start"), *keys)
+        .agg(_AGG[how](F.col(value_col)).alias(value_col))
+    )
+
+
+def rolling_weekly(
+    weekly: DataFrame,
+    window: int,
+    how: str = "mean",
+    value_col: str = "value",
+    keys: list[str] = (),
+) -> DataFrame:
+    """Rolling aggregate over the trailing ``window`` weeks per key (W3)."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("week_start").cast("timestamp").cast("long"))
+        .rangeBetween(-(window * 7 * 24 * 3600), 0)
+    )
+    return weekly.withColumn(f"rolling_{how}", _AGG[how](F.col(value_col)).over(w))
+
+
+def year_bounds_check(df: DataFrame, year: int, time_col: str = "local_time") -> None:
+    """Assert the shifted year covers exactly YYYY-01-01 00 .. YYYY-12-31 23
+    (reference cds.py:916-929)."""
+    row = df.agg(F.min(time_col).alias("mn"), F.max(time_col).alias("mx")).collect()[0]
+    want_mn = dt.datetime(year, 1, 1, 0)
+    want_mx = dt.datetime(year, 12, 31, 23)
+    if row.mn != want_mn or row.mx != want_mx:
+        raise AssertionError(
+            f"year {year} bounds mismatch: got [{row.mn}, {row.mx}], "
+            f"want [{want_mn}, {want_mx}]"
+        )
+
+
+def monthly_split(
+    df: DataFrame, time_col: str = "time"
+) -> DataFrame:
+    """Tag rows with year/month partitions + completeness flag (A5/I3):
+    a month is complete when its max date is its last day
+    (reference cds.py:204-234, is_end_of_month cds.py:49-50)."""
+    return df.withColumn("year", F.year(time_col)).withColumn(
+        "month", F.month(time_col)
+    )
+
+
+def is_hourly(df: DataFrame, time_col: str = "time") -> bool:
+    """Distinct HH:MM count == 24 (reference cds.py:53-55)."""
+    n = df.select(F.date_format(time_col, "HH:mm").alias("hm")).distinct().count()
+    return n == 24

@@ -1,0 +1,515 @@
+"""Query registry: every implemented operator as a (spark_fn, oracle_sql) pair.
+
+The driver runs each Spark query and its DuckDB oracle side-by-side at
+sf=0.01 and compares row counts + schema + order-insensitive value hashes.
+Rules followed here:
+
+  * identical column names + aliases on both sides;
+  * every float aggregate wrapped in round(x, d) on BOTH sides so benign
+    double-summation-order differences can't flip the hash;
+  * geo queries derive deterministic points from ``events`` via dialect-
+    neutral integer arithmetic (synth.POINTS_FROM_EVENTS_SQL): the Spark
+    side goes through the full engine (cover -> broadcast join -> ray-cast
+    refinement) while the oracle uses independent floor arithmetic valid
+    for the rectangular admin layout — two genuinely different
+    formulations that must agree;
+  * ops that SQL can't express (LSH dedup, streaming, raster path) have no
+    oracle -> the driver records a rows-only check; pytest carries their
+    NumPy-oracle tests instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cover import build_cover
+from .grids import Grid
+from .operators.assign import assign_admin
+from .operators.dedup import (
+    exact_dedup_stats,
+    minhash_near_dupes,
+    phash_near_dupes,
+    simhash_near_dupes,
+)
+from .operators.similarity import cosine_topk, cosine_topk_lsh
+from .operators.text import doc_stats, quality_score_col, token_count_col
+from .operators.timeagg import week_start_col
+from .operators.zonal import zonal_stats
+from .synth import (
+    ADMIN_ID_SQL,
+    POINTS_FROM_EVENTS_SQL,
+    admins_df,
+    images_table,
+)
+
+QUERY_GRID = Grid(x0=100.0, dx=0.05, nx=200, y0=10.0, dy=0.05, ny=200)
+
+# ---------------------------------------------------------------------------
+# shared session-scoped artifacts (cover table is built once per session)
+# ---------------------------------------------------------------------------
+_CACHE: dict[str, object] = {}
+
+
+def _engine(spark: SparkSession):
+    key = f"engine-{id(spark)}"
+    if key not in _CACHE:
+        admins = admins_df(spark)
+        cover = build_cover(admins, QUERY_GRID, supersample=8).cache()
+        cover.count()
+        wkb = {r.admin_id: bytes(r.geometry) for r in admins.collect()}
+        admin1 = {r.admin_id: r.admin1_id for r in admins.collect()}
+        _CACHE[key] = (cover, wkb, admin1)
+    return _CACHE[key]
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(POINTS_FROM_EVENTS_SQL)
+
+
+def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cover, wkb, _ = _engine(spark)
+    return assign_admin(_points(spark, sf_dir), cover, wkb, QUERY_GRID)
+
+
+_POINTS_CTE = f"WITH points AS ({POINTS_FROM_EVENTS_SQL})"
+
+
+# ---------------------------------------------------------------------------
+# geo queries (engine path vs floor-arithmetic oracle)
+# ---------------------------------------------------------------------------
+def q_admin_assign_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _assigned(spark, sf_dir).groupBy("admin_id").agg(F.count("*").alias("n"))
+
+
+SQL_ADMIN_ASSIGN_COUNT = f"""
+{_POINTS_CTE}
+SELECT {ADMIN_ID_SQL} AS admin_id, count(*) AS n
+FROM points GROUP BY 1
+"""
+
+
+def q_zonal_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = zonal_stats(_assigned(spark, sf_dir), "value", ["count", "mean", "sum"])
+    return out.select(
+        "admin_id",
+        F.col("count").alias("n"),
+        F.round("mean", 6).alias("mean_value"),
+        F.round("sum", 3).alias("sum_value"),
+    )
+
+
+SQL_ZONAL_VALUE_STATS = f"""
+{_POINTS_CTE}
+SELECT {ADMIN_ID_SQL} AS admin_id,
+       count(value) AS n,
+       round(avg(value), 6) AS mean_value,
+       round(sum(value), 3) AS sum_value
+FROM points GROUP BY 1
+"""
+
+
+def q_admin1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, admin1 = _engine(spark)
+    dim = F.broadcast(
+        spark.createDataFrame(list(admin1.items()), "admin_id string, admin1_id string")
+    )
+    return (
+        _assigned(spark, sf_dir)
+        .join(dim, "admin_id")
+        .groupBy("admin1_id")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("mean_value"))
+    )
+
+
+SQL_ADMIN1_ROLLUP = f"""
+{_POINTS_CTE}
+SELECT printf('ADM1-%d', CAST(floor(lat - 10.0) AS INT)) AS admin1_id,
+       count(*) AS n,
+       round(avg(value), 6) AS mean_value
+FROM points GROUP BY 1
+"""
+
+
+def q_hotspot_cells_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    g = QUERY_GRID
+    return (
+        pts.withColumn("cell_id", g.cell_id_col(F.col("lon"), F.col("lat")))
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("cell_id"))
+        .limit(10)
+    )
+
+
+SQL_HOTSPOT_CELLS_TOPK = f"""
+{_POINTS_CTE}
+SELECT CAST(floor((lat - 10.0) / 0.05) AS BIGINT) * 200
+       + CAST(floor((lon - 100.0) / 0.05) AS BIGINT) AS cell_id,
+       count(*) AS n
+FROM points GROUP BY 1
+ORDER BY n DESC, cell_id ASC LIMIT 10
+"""
+
+
+def q_images_admin_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full input_hint fact-table path: synthesize geocoded image records,
+    assign via the engine, count + distinct-phash per admin."""
+    cover, wkb, _ = _engine(spark)
+    imgs = images_table(spark, 5000)
+    assigned = assign_admin(imgs.select("image_id", "phash", "lat", "lon"), cover, wkb, QUERY_GRID)
+    return assigned.groupBy("admin_id").agg(F.count("*").alias("n_images"))
+
+
+SQL_IMAGES_ADMIN_COUNT = """
+WITH pts AS (
+  SELECT
+    CASE WHEN i % 5 < 4
+         THEN 12.25 + (CAST((i * 48271 + 7) % 99991 AS DOUBLE) / 99991.0) * 0.5
+         ELSE 10.0  + (CAST((i * 48271 + 7) % 99991 AS DOUBLE) / 99991.0) * 10.0
+    END AS lat,
+    CASE WHEN i % 5 < 4
+         THEN 104.25 + (CAST((i * 16807 + 11) % 99991 AS DOUBLE) / 99991.0) * 0.5
+         ELSE 100.0  + (CAST((i * 16807 + 11) % 99991 AS DOUBLE) / 99991.0) * 10.0
+    END AS lon
+  FROM range(5000) t(i)
+)
+SELECT printf('ADM2-%02d', CAST(floor(lat - 10.0) AS INT) * 10
+              + CAST(floor(lon - 100.0) AS INT)) AS admin_id,
+       count(*) AS n_images
+FROM pts GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational core (scan/filter/join/agg/window over the star schema)
+# ---------------------------------------------------------------------------
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    return (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            "c_mktsegment",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(20)
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT l_orderkey AS orderkey, c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY l_orderkey, c_mktsegment
+ORDER BY revenue DESC, orderkey ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# time semantics (daily / ISO-weekly / tz shift with the accum -1 rule)
+# ---------------------------------------------------------------------------
+def q_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.to_date("ts").alias("date"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+SQL_DAILY_EVENTS = """
+SELECT CAST(ts AS DATE) AS date, event_type,
+       count(*) AS n,
+       round(avg(value), 6) AS mean_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_weekly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _table(spark, sf_dir, "events")
+    return ev.groupBy(
+        week_start_col(F.to_date("ts")).alias("week_start")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+
+
+SQL_WEEKLY_EVENTS = """
+SELECT CAST(ts AS DATE) - CAST(isodow(CAST(ts AS DATE)) - 1 AS INT) AS week_start,
+       count(*) AS n,
+       round(sum(value), 3) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_tz_shift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone shift +8 with the reference's accum -1 rule: 'error'
+    events play the accumulated variable (end-of-hour label -> shift 7)."""
+    from .operators.timeagg import local_time_col
+
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "vartype", F.when(F.col("event_type") == "error", "accum").otherwise("instant")
+    )
+    local = ev.withColumn("local_ts", local_time_col(F.col("ts"), 8, "vartype"))
+    return local.groupBy(F.to_date("local_ts").alias("local_date")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value")
+    )
+
+
+SQL_TZ_SHIFT_DAILY = """
+SELECT CAST(ts + CASE WHEN event_type = 'error'
+                      THEN INTERVAL 7 HOUR ELSE INTERVAL 8 HOUR END AS DATE) AS local_date,
+       count(*) AS n,
+       round(sum(value), 3) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (>30 min) per user via lag + running sum."""
+    from pyspark.sql import Window as W
+
+    ev = _table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps load as TIMESTAMP_NTZ; go via timestamp (session
+    # tz pinned to UTC) to fractional epoch seconds
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(w))
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+SQL_SESSIONIZATION = """
+WITH g AS (
+  SELECT user_id, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+def q_doc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return exact_dedup_stats(docs, "text", by=["source"])
+
+
+SQL_DOC_DEDUP_STATS = """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct,
+       count(*) - count(DISTINCT md5(text)) AS n_dupes
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return doc_stats(docs, "text", by=["lang"])
+
+
+SQL_DOC_TOKEN_STATS = r"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS tokens,
+         length(text) AS chars
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       round(avg(tokens), 4) AS avg_tokens,
+       round(avg(round(least(1.0, tokens / 50.0) *
+             (CASE WHEN tokens > 0 AND chars * 1.0 / tokens BETWEEN 3 AND 10
+                   THEN 1.0 ELSE 0.5 END), 6)), 6) AS avg_quality
+FROM t GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+def _queries_from_embeddings(spark: SparkSession, sf_dir: str, n: int = 5):
+    emb = _table(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < n).select("vec_id", "embedding").collect()
+    return emb.filter(F.col("vec_id") >= n), [
+        (int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows
+    ]
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cands, qs = _queries_from_embeddings(spark, sf_dir)
+    return cosine_topk(cands, qs, k=5).select("query_id", "rank", "neighbor_id")
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id AS neighbor_id, embedding FROM embeddings WHERE vec_id >= 5),
+     qe AS (SELECT query_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM q),
+     ce AS (SELECT neighbor_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM c),
+     qn AS (SELECT query_id, sqrt(sum(x * x)) AS nrm FROM qe GROUP BY 1),
+     cn AS (SELECT neighbor_id, sqrt(sum(x * x)) AS nrm FROM ce GROUP BY 1),
+     dots AS (
+       SELECT qe.query_id, ce.neighbor_id, sum(qe.x * ce.x) AS dot
+       FROM qe JOIN ce ON qe.i = ce.i
+       GROUP BY 1, 2
+     ),
+     sims AS (
+       SELECT d.query_id, d.neighbor_id,
+              round(d.dot / (qn.nrm * cn.nrm), 6) AS sim
+       FROM dots d JOIN qn ON d.query_id = qn.query_id
+                   JOIN cn ON d.neighbor_id = cn.neighbor_id
+     ),
+     ranked AS (
+       SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rank
+       FROM sims
+     )
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only checks (not SQL-expressible): LSH families + image dedup
+# ---------------------------------------------------------------------------
+def q_minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    out = minhash_near_dupes(docs, "text", "doc_id", min_jaccard=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"))
+
+
+def q_simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return simhash_near_dupes(docs, "text", "doc_id", max_hamming=12)
+
+
+def q_phash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = images_table(spark, 3000)
+    return phash_near_dupes(imgs, "phash", "image_id", max_hamming=0)
+
+
+def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cands, qs = _queries_from_embeddings(spark, sf_dir)
+    return cosine_topk_lsh(cands, qs, k=5, n_bits=12, probe_hamming=4).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "admin_assign_count": q_admin_assign_count,
+        "zonal_value_stats": q_zonal_value_stats,
+        "admin1_rollup": q_admin1_rollup,
+        "hotspot_cells_topk": q_hotspot_cells_topk,
+        "images_admin_count": q_images_admin_count,
+        "tpch_q1": q_tpch_q1,
+        "top_revenue_orders": q_top_revenue_orders,
+        "daily_events": q_daily_events,
+        "weekly_events": q_weekly_events,
+        "tz_shift_daily": q_tz_shift_daily,
+        "sessionization": q_sessionization,
+        "doc_dedup_stats": q_doc_dedup_stats,
+        "doc_token_stats": q_doc_token_stats,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+        "minhash_near_dupes": q_minhash_near_dupes,
+        "simhash_near_dupes": q_simhash_near_dupes,
+        "phash_dedup_pairs": q_phash_dedup_pairs,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "admin_assign_count": SQL_ADMIN_ASSIGN_COUNT,
+        "zonal_value_stats": SQL_ZONAL_VALUE_STATS,
+        "admin1_rollup": SQL_ADMIN1_ROLLUP,
+        "hotspot_cells_topk": SQL_HOTSPOT_CELLS_TOPK,
+        "images_admin_count": SQL_IMAGES_ADMIN_COUNT,
+        "tpch_q1": SQL_TPCH_Q1,
+        "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
+        "daily_events": SQL_DAILY_EVENTS,
+        "weekly_events": SQL_WEEKLY_EVENTS,
+        "tz_shift_daily": SQL_TZ_SHIFT_DAILY,
+        "sessionization": SQL_SESSIONIZATION,
+        "doc_dedup_stats": SQL_DOC_DEDUP_STATS,
+        "doc_token_stats": SQL_DOC_TOKEN_STATS,
+        "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+        # LSH/phash families: rows-only (driver's weaker check)
+    }
