@@ -95,10 +95,12 @@ def main_bench() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
 
-    # warm the cover cache outside the timed sections
+    # warm the cover cache, broadcast relation, and Python workers outside
+    # the timed sections: steady-state throughput is the target metric
     from geoglue_spark.queries import _engine
 
     _engine(spark)
+    run_flagship(spark, BENCH_ROWS // 10)
 
     flag_sec, flag_rows = run_flagship(spark, BENCH_ROWS)
     times = bench_queries(spark, sf_dir)

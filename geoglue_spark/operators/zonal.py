@@ -116,6 +116,7 @@ def raster_zonal_stats(
     lon_col: str = "lon",
     lat_col: str = "lat",
     use_spherical_area: bool = True,
+    check_extent: bool = True,
 ) -> DataFrame:
     """Coverage-weighted zonal statistics over a long-form raster.
 
@@ -130,6 +131,18 @@ def raster_zonal_stats(
     (the reference's incompatible-extent precondition,
     tests/test_zonalstats.py:51-54); verified here by joining on cell_id.
     """
+    if weights is not None and check_extent:
+        # J3 precondition: exactextract's "Incompatible extent" gate
+        # (tests/test_zonalstats.py:51-54) — weights must live on the value
+        # raster's grid; cheap metadata-scale aggregation, fail-fast.
+        from ..grids import infer_grid
+
+        wgrid = infer_grid(weights, lon_col, lat_col)
+        if not wgrid.approx_equal(grid):
+            raise ValueError(
+                f"incompatible extent: weights grid {wgrid} != value grid {grid}; "
+                "resample the weights first (operators.resample)"
+            )
     px = pixels.withColumn("cell_id", grid.cell_id_col(F.col(lon_col), F.col(lat_col)))
     cov = F.broadcast(cover.select("cell_id", "admin_id", "coverage"))
     joined = px.join(cov, "cell_id", "inner")

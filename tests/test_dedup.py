@@ -1,0 +1,76 @@
+import pytest
+from pyspark.sql import functions as F
+
+from geoglue_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("today", "tomorrow")),  # near dup of 1
+        (4, "completely different text about spark query engines and shuffles"),
+        (5, "completely different text about spark query engines and shuffles ok"),
+        (6, "unrelated short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_stats(spark, docs):
+    row = D.exact_dedup_stats(docs, "text").collect()[0]
+    assert row.n_docs == 6 and row.n_distinct == 5 and row.n_dupes == 1
+
+
+def test_exact_dedup_keep_first(spark, docs):
+    kept = D.exact_dedup_keep_first(docs, "text", "doc_id")
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [1, 3, 4, 5, 6]  # doc 2 dropped, smallest id kept
+
+
+def test_minhash_finds_near_dupes(spark, docs):
+    pairs = D.minhash_near_dupes(docs, "text", "doc_id", min_jaccard=0.3).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (1, 2) in got  # exact dup: jaccard 1.0
+    assert (1, 3) in got or (2, 3) in got  # near dup
+    assert (4, 5) in got
+    assert not any(6 in p for p in got)
+    exact = pairs[(pairs.id_a == 1) & (pairs.id_b == 2)].jaccard_est.iloc[0]
+    assert exact == 1.0
+
+
+def test_minhash_jaccard_estimate_close_to_exact(spark, docs):
+    pairs = D.minhash_near_dupes(docs, "text", "doc_id", min_jaccard=0.2)
+    verified = D.ngram_jaccard_pairs(docs, pairs, "text", "doc_id").toPandas()
+    for _, r in verified.iterrows():
+        assert abs(r.jaccard_est - r.jaccard) < 0.25, (r.id_a, r.id_b)
+
+
+def test_simhash_near_dupes(spark, docs):
+    pairs = D.simhash_near_dupes(docs, "text", "doc_id", max_hamming=10).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (1, 2) in got
+    ham = pairs[(pairs.id_a == 1) & (pairs.id_b == 2)].hamming.iloc[0]
+    assert ham == 0
+
+
+def test_phash_near_dupes_on_images(spark):
+    from geoglue_spark.synth import DUP_EVERY, images_table
+
+    imgs = images_table(spark, 400)
+    pairs = D.phash_near_dupes(imgs, "phash", "image_id", max_hamming=0).toPandas()
+    # injected dups: content of i == content of i-1 for i % 97 == 0 (i>0)
+    injected = {
+        (f"img{i-1:012d}", f"img{i:012d}") for i in range(DUP_EVERY, 400, DUP_EVERY)
+    }
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert injected <= got
+
+
+def test_dedup_determinism_across_partitionings(spark, docs):
+    a = D.minhash_near_dupes(docs.repartition(1), "text", "doc_id", min_jaccard=0.2)
+    b = D.minhash_near_dupes(docs.repartition(7), "text", "doc_id", min_jaccard=0.2)
+    pa = sorted(map(tuple, a.toPandas().values.tolist()))
+    pb = sorted(map(tuple, b.toPandas().values.tolist()))
+    assert pa == pb

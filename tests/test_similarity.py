@@ -1,0 +1,75 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geoglue_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.Generator(np.random.PCG64(7))
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    return df, vecs
+
+
+def _numpy_topk(vecs, qidx, cand_ids, k):
+    q = vecs[qidx].astype(np.float64)
+    q = q / np.linalg.norm(q)
+    out = {}
+    for qi, qv in zip(qidx, q if q.ndim > 1 else [q]):
+        pass
+    res = {}
+    qs = vecs[qidx].astype(np.float64)
+    qs = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+    cs = vecs[cand_ids].astype(np.float64)
+    cs = cs / np.linalg.norm(cs, axis=1, keepdims=True)
+    sims = np.round(cs @ qs.T, 6)
+    for j, qi in enumerate(qidx):
+        order = np.lexsort((cand_ids, -sims[:, j]))[:k]
+        res[qi] = [int(cand_ids[o]) for o in order]
+    return res
+
+
+def test_bruteforce_matches_numpy(spark, emb):
+    df, vecs = emb
+    qidx = [0, 1, 2]
+    queries = [(i, [float(x) for x in vecs[i]]) for i in qidx]
+    cands = df.filter(F.col("vec_id") >= 3)
+    got = cosine_topk(cands, queries, k=5).toPandas()
+    want = _numpy_topk(vecs, qidx, np.arange(3, 200), 5)
+    for qi in qidx:
+        g = got[got.query_id == qi].sort_values("rank").neighbor_id.tolist()
+        assert g == want[qi], f"query {qi}"
+
+
+def test_topk_deterministic_across_partitionings(spark, emb):
+    df, vecs = emb
+    queries = [(0, [float(x) for x in vecs[0]])]
+    a = cosine_topk(df.repartition(2), queries, k=10).toPandas()
+    b = cosine_topk(df.repartition(13), queries, k=10).toPandas()
+    assert a.sort_values("rank").neighbor_id.tolist() == b.sort_values("rank").neighbor_id.tolist()
+
+
+def test_lsh_recall(spark, emb):
+    df, vecs = emb
+    qidx = [0, 1, 2, 3]
+    queries = [(i, [float(x) for x in vecs[i]]) for i in qidx]
+    cands = df.filter(F.col("vec_id") >= 4)
+    exact = cosine_topk(cands, queries, k=5).toPandas()
+    approx = cosine_topk_lsh(cands, queries, k=5, n_bits=10, probe_hamming=3).toPandas()
+    recalls = []
+    for qi in qidx:
+        e = set(exact[exact.query_id == qi].neighbor_id)
+        a = set(approx[approx.query_id == qi].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_self_similarity_rank1(spark, emb):
+    df, vecs = emb
+    queries = [(5, [float(x) for x in vecs[5]])]
+    got = cosine_topk(df, queries, k=3).toPandas()  # candidate set includes the query itself
+    assert got[got["rank"] == 1].neighbor_id.iloc[0] == 5
+    assert got[got["rank"] == 1].sim.iloc[0] == 1.0

@@ -1,0 +1,132 @@
+"""Time-aggregation invariants mirroring the reference's test style:
+timeshift boundary-row counts (tests/test_cds.py:271-325), daily
+min<mean<max (tests/test_cds.py:381-392), weekly spacing/anchoring
+(tests/test_cds.py:411-423)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoglue_spark.operators import timeagg as TA
+
+
+@pytest.fixture(scope="module")
+def hourly(spark):
+    """Two full years of hourly data for one point, instant + accum."""
+    n = 2 * 8760
+    base = spark.range(n)
+    t = F.to_timestamp(F.lit("2019-01-01 00:00:00")) + F.make_interval(
+        hours=F.col("id").cast("int")
+    )
+    df = base.select(
+        t.alias("time"),
+        (F.sin(F.col("id").cast("double") / 24.0) * 10 + 280).alias("value"),
+    )
+    return (
+        df.withColumn("vartype", F.lit("instant"))
+        .unionByName(df.withColumn("vartype", F.lit("accum")))
+        .cache()
+    )
+
+
+def test_parse_tz_offset():
+    assert TA.parse_tz_offset("+05:00") == 5
+    assert TA.parse_tz_offset("-04:00") == -4
+    assert TA.parse_tz_offset("+05:30") is None
+    assert TA.parse_tz_offset("+00:00") == 0
+
+
+@pytest.mark.parametrize(
+    "shift,instant_cross,accum_cross",
+    [(8, 8, 7), (-4, 4, 5)],
+)
+def test_timeshift_boundary_rows(spark, hourly, shift, instant_cross, accum_cross):
+    """Reference invariant (tests/test_cds.py:271-325): with shift +8 the
+    shifted year takes 8 instant / 7 accum hours across the year boundary;
+    with -4 it takes 4 / 5."""
+    local = TA.with_local_time(hourly, shift, time_col="time")
+    # rows whose local year is 2020 but utc year is 2019 (or vice versa)
+    cross = local.filter(
+        (F.year("local_time") != F.year("time"))
+        & (F.year("local_time") == (2020 if shift > 0 else 2019))
+    )
+    counts = {r.vartype: r.n for r in cross.groupBy("vartype").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("instant", 0) == instant_cross
+    assert counts.get("accum", 0) == accum_cross
+
+
+def test_shift_out_of_range(spark, hourly):
+    with pytest.raises(ValueError):
+        TA.with_local_time(hourly, 13)
+
+
+def test_daily_min_mean_max(spark, hourly):
+    inst = hourly.filter("vartype = 'instant'").withColumn("local_time", F.col("time"))
+    mn = TA.daily_reduce(inst, "min", vartype="instant")
+    mean = TA.daily_reduce(inst, "mean", vartype="instant")
+    mx = TA.daily_reduce(inst, "max", vartype="instant")
+    j = (
+        mn.withColumnRenamed("value", "vmin")
+        .join(mean.withColumnRenamed("value", "vmean"), "date")
+        .join(mx.withColumnRenamed("value", "vmax"), "date")
+    )
+    bad = j.filter(~((F.col("vmin") < F.col("vmean")) & (F.col("vmean") < F.col("vmax"))))
+    assert bad.count() == 0
+    assert mn.count() == 730
+
+
+def test_vartype_how_enforcement(spark, hourly):
+    inst = hourly.withColumn("local_time", F.col("time"))
+    with pytest.raises(ValueError):
+        TA.daily_reduce(inst, "sum", vartype="instant")
+    with pytest.raises(ValueError):
+        TA.daily_reduce(inst, "mean", vartype="accum")
+    with pytest.raises(ValueError):
+        TA.daily_reduce(inst, "median")
+
+
+def test_weekly_anchor_and_spacing(spark, hourly):
+    inst = hourly.filter("vartype='instant'").withColumn("local_time", F.col("time"))
+    daily = TA.daily_reduce(inst, "mean", vartype="instant")
+    weekly = TA.weekly_reduce(daily, "mean", year=2019).orderBy("week_start")
+    rows = weekly.collect()
+    # first Monday of 2019 is Jan 7; last Sunday is Dec 29
+    assert rows[0].week_start == dt.date(2019, 1, 7)
+    assert rows[-1].week_start == dt.date(2019, 12, 23)
+    # exact 7-day spacing (reference: 7*24*3600 s)
+    for a, b in zip(rows, rows[1:]):
+        assert (b.week_start - a.week_start).days == 7
+    # warm-up window extends the start by 42 days (6 weeks); use 2020 so
+    # the warm-up weeks have data (fixture starts 2019-01-01)
+    w6 = TA.weekly_reduce(daily, "mean", year=2020, window=6).orderBy("week_start")
+    assert w6.first().week_start == TA.first_monday(2020) - dt.timedelta(days=42)
+
+
+def test_first_monday_last_sunday():
+    assert TA.first_monday(2019) == dt.date(2019, 1, 7)
+    assert TA.first_monday(2024) == dt.date(2024, 1, 1)
+    assert TA.last_sunday(2019) == dt.date(2019, 12, 29)
+    assert TA.last_sunday(2023) == dt.date(2023, 12, 31)
+
+
+def test_year_bounds_check(spark, hourly):
+    inst = hourly.filter("vartype='instant'")
+    ok = inst.withColumn("local_time", F.col("time")).filter(F.year("local_time") == 2019)
+    TA.year_bounds_check(ok, 2019)
+    with pytest.raises(AssertionError):
+        TA.year_bounds_check(ok.limit(100), 2019)
+
+
+def test_rolling_weekly(spark, hourly):
+    inst = hourly.filter("vartype='instant'").withColumn("local_time", F.col("time"))
+    daily = TA.daily_reduce(inst, "mean", vartype="instant")
+    weekly = TA.weekly_reduce(daily, "mean", year=2019)
+    rolled = TA.rolling_weekly(weekly, window=3, how="mean")
+    assert "rolling_mean" in rolled.columns
+    assert rolled.filter(F.col("rolling_mean").isNull()).count() == 0
+
+
+def test_is_hourly(spark, hourly):
+    assert TA.is_hourly(hourly)
+    assert not TA.is_hourly(hourly.filter(F.hour("time") < 23))

@@ -1,0 +1,157 @@
+"""Coverage-weighted raster zonal statistics (J1/J2/A1/A2) vs a pure-NumPy
+oracle computed independently per admin — the engine's analog of the
+reference's exactextract golden-value tests (tests/test_zonalstats.py:57-73),
+with goldens regenerated on our own deterministic fixtures."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geoglue_spark.cover import build_cover, build_cover_local
+from geoglue_spark.geometry import wkb_to_rings
+from geoglue_spark.grids import Grid
+from geoglue_spark.operators.zonal import raster_zonal_stats, zonal_stats
+from geoglue_spark.synth import admins_df
+
+# coarse raster NOT aligned with admin edges -> real fractional coverage
+GRID = Grid(x0=99.9, dx=0.4, nx=26, y0=9.9, dy=0.4, ny=26)
+SUPER = 16
+
+
+def _value(lon, lat):
+    return 2.0 * lon + 0.5 * lat
+
+
+def _pixels_df(spark):
+    ix, iy = np.meshgrid(np.arange(GRID.nx), np.arange(GRID.ny))
+    lon, lat = GRID.centers(ix.ravel(), iy.ravel())
+    rows = [(float(a), float(b), float(_value(a, b))) for a, b in zip(lon, lat)]
+    return spark.createDataFrame(rows, "lon double, lat double, value double")
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    admins = admins_df(spark).limit(12)
+    cover = build_cover(admins, GRID, supersample=SUPER).cache()
+    cover.count()
+    return admins, cover, _pixels_df(spark)
+
+
+def _numpy_oracle(admins_rows, op):
+    """Independent per-admin computation from local cover + dense values."""
+    out = {}
+    for r in admins_rows:
+        pdf = build_cover_local(r.admin_id, wkb_to_rings(r.geometry), GRID, SUPER)
+        iy = pdf.cell_id.to_numpy() // GRID.nx
+        ix = pdf.cell_id.to_numpy() % GRID.nx
+        lon, lat = GRID.centers(ix, iy)
+        v = _value(lon, lat)
+        w = pdf.coverage.to_numpy() * GRID.cell_area_km2_np(iy)
+        if op == "weighted_mean":
+            out[r.admin_id] = (v * w).sum() / w.sum()
+        elif op == "weighted_sum":
+            out[r.admin_id] = (v * w).sum()
+        elif op == "count":
+            out[r.admin_id] = len(v)
+        elif op == "area_weighted_sum":
+            out[r.admin_id] = (v * w).sum() / len(v)
+    return out
+
+
+def test_weighted_mean_matches_numpy_oracle(spark, setup):
+    admins, cover, pixels = setup
+    got = {
+        r.admin_id: r.weighted_mean
+        for r in raster_zonal_stats(pixels, cover, GRID, ops=["weighted_mean"]).collect()
+    }
+    want = _numpy_oracle(admins.collect(), "weighted_mean")
+    assert set(got) == set(want)
+    for aid in want:
+        np.testing.assert_allclose(got[aid], want[aid], rtol=1e-12)
+
+
+def test_weighted_and_area_weighted_sum(spark, setup):
+    admins, cover, pixels = setup
+    res = raster_zonal_stats(
+        pixels, cover, GRID, ops=["count", "weighted_sum", "area_weighted_sum"]
+    ).collect()
+    want_ws = _numpy_oracle(admins.collect(), "weighted_sum")
+    want_aws = _numpy_oracle(admins.collect(), "area_weighted_sum")
+    want_n = _numpy_oracle(admins.collect(), "count")
+    for r in res:
+        np.testing.assert_allclose(r.weighted_sum, want_ws[r.admin_id], rtol=1e-12)
+        np.testing.assert_allclose(r.area_weighted_sum, want_aws[r.admin_id], rtol=1e-12)
+        assert r["count"] == want_n[r.admin_id]
+        assert r.weighted_sum >= 0  # non-negativity (reference test style)
+
+
+def test_nan_pixels_excluded(spark, setup):
+    admins, cover, pixels = setup
+    holey = pixels.withColumn(
+        "value", F.when(F.col("lon") < 101.0, None).otherwise(F.col("value"))
+    )
+    full = raster_zonal_stats(pixels, cover, GRID, ops=["count"]).toPandas()
+    part = raster_zonal_stats(holey, cover, GRID, ops=["count"]).toPandas()
+    m = full.merge(part, on="admin_id", suffixes=("_f", "_p"))
+    west = m[m.admin_id.isin(["ADM2-00"])]  # the westernmost admin loses pixels
+    assert (west.count_p < west.count_f).all()
+
+
+def test_population_weighted_mean(spark, setup):
+    """J2: 3-way join with a weights raster on the same grid."""
+    admins, cover, pixels = setup
+    ix, iy = np.meshgrid(np.arange(GRID.nx), np.arange(GRID.ny))
+    lon, lat = GRID.centers(ix.ravel(), iy.ravel())
+    pop = (np.abs(lon - 104.5) < 1.0).astype(float) * 100.0 + 1.0  # urban strip
+    wdf = spark.createDataFrame(
+        [(float(a), float(b), float(p)) for a, b, p in zip(lon, lat, pop)],
+        "lon double, lat double, weight double",
+    )
+    res = raster_zonal_stats(
+        pixels, cover, GRID, ops=["weighted_mean"], weights=wdf
+    ).collect()
+    # oracle with population weight folded in
+    want = {}
+    for r in admins.collect():
+        pdf = build_cover_local(r.admin_id, wkb_to_rings(r.geometry), GRID, SUPER)
+        ciy = pdf.cell_id.to_numpy() // GRID.nx
+        cix = pdf.cell_id.to_numpy() % GRID.nx
+        clon, clat = GRID.centers(cix, ciy)
+        v = _value(clon, clat)
+        p = (np.abs(clon - 104.5) < 1.0).astype(float) * 100.0 + 1.0
+        w = pdf.coverage.to_numpy() * GRID.cell_area_km2_np(ciy) * p
+        want[r.admin_id] = (v * w).sum() / w.sum()
+    for r in res:
+        np.testing.assert_allclose(r.weighted_mean, want[r.admin_id], rtol=1e-12)
+
+
+def test_incompatible_extent_raises(spark, setup):
+    admins, cover, pixels = setup
+    other = Grid(x0=0.0, dx=1.0, nx=10, y0=0.0, dy=1.0, ny=10)
+    ix, iy = np.meshgrid(np.arange(other.nx), np.arange(other.ny))
+    lon, lat = other.centers(ix.ravel(), iy.ravel())
+    wdf = spark.createDataFrame(
+        [(float(a), float(b), 1.0) for a, b in zip(lon, lat)],
+        "lon double, lat double, weight double",
+    )
+    with pytest.raises(ValueError, match="[Ii]ncompatible extent"):
+        raster_zonal_stats(pixels, cover, GRID, ops=["weighted_mean"], weights=wdf)
+
+
+def test_salted_agg_matches_plain(spark, setup):
+    """Two-level salted aggregation must equal the direct aggregation."""
+    admins, cover, wkb = setup[0], setup[1], None
+    pixels = setup[2]
+    joined = raster_zonal_stats(pixels, cover, GRID, ops=["count", "sum", "mean"])
+    plain = {r.admin_id: r for r in joined.collect()}
+    assigned = (
+        pixels.withColumn("cell_id", GRID.cell_id_col(F.col("lon"), F.col("lat")))
+        .join(F.broadcast(cover.select("cell_id", "admin_id")), "cell_id")
+    )
+    salted = {
+        r.admin_id: r
+        for r in zonal_stats(assigned, "value", ["count", "sum", "mean"], salt=8).collect()
+    }
+    for aid, r in plain.items():
+        assert salted[aid]["count"] == r["count"]
+        np.testing.assert_allclose(salted[aid]["sum"], r["sum"], rtol=1e-9)
