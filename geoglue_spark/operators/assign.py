@@ -66,6 +66,35 @@ def make_pip_udf(spark: SparkSession, admin_wkb: dict[str, bytes]):
     return pip_udf
 
 
+def make_keep_udf(spark: SparkSession, admin_wkb: dict[str, bytes]):
+    """Boolean pandas UDF ``keep(admin_id, interior, lon, lat)`` — the
+    single-pass assignment kernel.
+
+    Interior-cell rows short-circuit to True without touching geometry;
+    only the boundary subset of each Arrow batch runs the vectorized
+    ray-cast, grouped by admin. The Arrow transfer carries just these four
+    pruned columns — payload columns (image bytes, captions) never leave
+    the JVM."""
+    bc = spark.sparkContext.broadcast(admin_wkb)
+
+    @F.pandas_udf(T.BooleanType())
+    def keep_udf(
+        admin_id: pd.Series, interior: pd.Series, lon: pd.Series, lat: pd.Series
+    ) -> pd.Series:
+        out = interior.to_numpy(dtype=bool, copy=True)
+        boundary = ~out
+        if boundary.any():
+            lon_np = lon.to_numpy(np.float64)
+            lat_np = lat.to_numpy(np.float64)
+            sub = admin_id[boundary]
+            for aid, idx in sub.groupby(sub).groups.items():
+                ii = np.asarray(idx)
+                out[ii] = points_in_geom(lon_np[ii], lat_np[ii], _prepared(bc, aid))
+        return pd.Series(out)
+
+    return keep_udf
+
+
 def with_cell_id(
     df: DataFrame, grid: Grid, lon_col: str = "lon", lat_col: str = "lat"
 ) -> DataFrame:
@@ -90,19 +119,22 @@ def assign_admin(
     several polygons (measure-zero shared-edge case) keeps the smallest
     admin_id — deterministic across parallelism levels. Costs one extra
     shuffle, so leave None for continuous coordinates.
+
+    Single-pass plan (scan -> BHJ -> one Arrow filter -> done): the source
+    is scanned exactly ONCE (a unioned interior/boundary split would read a
+    100 TB fact table twice), and the Arrow boundary carries only
+    (admin_id, interior, lon, lat) — payloads stay JVM-side.
     """
     spark = points.sparkSession
     pts = with_cell_id(points, grid, lon_col, lat_col)
     cov = F.broadcast(cover.select("cell_id", "admin_id", "interior"))
     cand = pts.join(cov, "cell_id", "inner")
 
-    interior = cand.filter(F.col("interior"))
-    boundary = cand.filter(~F.col("interior"))
-    pip_udf = make_pip_udf(spark, admin_wkb)
-    refined = boundary.filter(pip_udf(F.col("admin_id"), F.col(lon_col), F.col(lat_col)))
-
+    keep_udf = make_keep_udf(spark, admin_wkb)
     out_cols = [c for c in points.columns] + ["admin_id"]
-    assigned = interior.select(*out_cols).unionByName(refined.select(*out_cols))
+    assigned = cand.filter(
+        keep_udf(F.col("admin_id"), F.col("interior"), F.col(lon_col), F.col(lat_col))
+    ).select(*out_cols)
 
     if unique_on is not None:
         others = [c for c in out_cols if c != unique_on and c != "admin_id"]

@@ -57,11 +57,31 @@ def _engine(spark: SparkSession):
     key = f"engine-{id(spark)}"
     if key not in _CACHE:
         admins = admins_df(spark)
-        cover = build_cover(admins, QUERY_GRID, supersample=8).cache()
-        cover.count()
+        # build distributed, then pin the (small) cover on the driver: each
+        # query's broadcast then builds from a LocalTableScan instead of
+        # re-running cluster tasks — fixed per-query cost drops to ~0
+        cover_pd = build_cover(admins, QUERY_GRID, supersample=8).toPandas()
+        cover = spark.createDataFrame(
+            cover_pd, "cell_id long, admin_id string, interior boolean, coverage double"
+        )
         wkb = {r.admin_id: bytes(r.geometry) for r in admins.collect()}
         admin1 = {r.admin_id: r.admin1_id for r in admins.collect()}
         _CACHE[key] = (cover, wkb, admin1)
+    return _CACHE[key]
+
+
+def _engine_wiggly(spark: SparkSession):
+    """Cover + polygons for the realistic-complexity (256-vertex) admin set
+    — the scaling-bench workload where ray-cast compute dominates."""
+    key = f"wiggly-{id(spark)}"
+    if key not in _CACHE:
+        admins = admins_df(spark, wiggly=True)
+        cover_pd = build_cover(admins, QUERY_GRID, supersample=8).toPandas()
+        cover = spark.createDataFrame(
+            cover_pd, "cell_id long, admin_id string, interior boolean, coverage double"
+        )
+        wkb = {r.admin_id: bytes(r.geometry) for r in admins.collect()}
+        _CACHE[key] = (cover, wkb, None)
     return _CACHE[key]
 
 
@@ -444,8 +464,175 @@ SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
 
 
 # ---------------------------------------------------------------------------
+# assembly / validation / reshape operators
+# ---------------------------------------------------------------------------
+def q_crop_bbox_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .geometry import Bbox
+    from .operators.merge import crop
+
+    pts = _points(spark, sf_dir)
+    return crop(pts, Bbox(102.0, 12.0, 106.0, 16.0)).groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value")
+    )
+
+
+SQL_CROP_BBOX_COUNT = f"""
+{_POINTS_CTE}
+SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value
+FROM points
+WHERE lon BETWEEN 102.0 AND 106.0 AND lat BETWEEN 12.0 AND 16.0
+GROUP BY 1
+"""
+
+
+def q_validate_per_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.validate import per_slice_stats
+
+    ev = _table(spark, sf_dir, "events")
+    out = per_slice_stats(ev, ["event_type"], "value")
+    return out.select(
+        "event_type", "n", F.col("nna").cast("long").alias("nna"),
+        "mean", "min", "max",
+    )
+
+
+SQL_VALIDATE_PER_SLICE = """
+SELECT event_type,
+       count(value) AS n,
+       CAST(sum(CASE WHEN value IS NULL OR isnan(value) THEN 1 ELSE 0 END) AS BIGINT) AS nna,
+       round(avg(value), 6) AS mean,
+       min(value) AS min,
+       max(value) AS max
+FROM events GROUP BY 1
+"""
+
+
+def q_durations_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.reshape import durations
+
+    ev = _table(spark, sf_dir, "events").select(
+        F.date_trunc("month", "ts").alias("time")
+    )
+    out = durations(ev, "time", n_months=6)
+    return out.select(
+        F.col("time").cast("date").alias("month_start"),
+        F.col("month").cast("int").alias("month"),
+        F.col("days").cast("int").alias("days"),
+    )
+
+
+SQL_DURATIONS_MATRIX = """
+WITH starts AS (SELECT DISTINCT CAST(date_trunc('month', ts) AS DATE) AS month_start
+                FROM events),
+     m AS (SELECT unnest(generate_series(1, 6)) AS month)
+SELECT s.month_start,
+       CAST(m.month AS INT) AS month,
+       CAST(date_diff('day',
+                      s.month_start + (m.month - 1) * INTERVAL 1 MONTH,
+                      s.month_start + m.month * INTERVAL 1 MONTH) AS INT) AS days
+FROM starts s CROSS JOIN m
+"""
+
+
+def q_top3_per_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    assigned = _assigned(spark, sf_dir)
+    w = W.partitionBy("admin_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("admin_id", F.col("rk").cast("int").alias("rk"), "event_id", "value")
+    )
+
+
+SQL_TOP3_PER_ADMIN = f"""
+{_POINTS_CTE}
+SELECT admin_id, CAST(rk AS INT) AS rk, event_id, value FROM (
+  SELECT {ADMIN_ID_SQL} AS admin_id, event_id, value,
+         row_number() OVER (PARTITION BY {ADMIN_ID_SQL}
+                            ORDER BY value DESC, event_id ASC) AS rk
+  FROM points
+) WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # rows-only checks (not SQL-expressible): LSH families + image dedup
 # ---------------------------------------------------------------------------
+def q_images_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal path: decode binary image payloads in Arrow batches,
+    verify stored phash against decoded pixels, aggregate per fmt."""
+    from .operators.multimodal import decode_stats
+
+    imgs = images_table(spark, 2000)
+    return (
+        decode_stats(imgs)
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("mean_px"), 4).alias("avg_mean_px"),
+            F.sum(F.when(F.col("phash_check"), 1).otherwise(0)).alias("n_phash_ok"),
+        )
+    )
+
+
+def q_raster_zonal_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-weighted raster zonal stats over the synthetic hourly
+    raster (pytest carries the exact NumPy oracle for this path)."""
+    from .operators.zonal import raster_zonal_stats
+    from .synth import grid_pixels_table
+
+    grid = Grid(x0=100.0, dx=0.25, nx=65, y0=10.0, dy=0.25, ny=33)
+    cover, _, _ = _engine_raster(spark, grid)
+    px = grid_pixels_table(spark, hours=24).filter("var = 't2m'")
+    out = raster_zonal_stats(
+        px, cover, grid, ops=["count", "weighted_mean"], by_dims=["time"]
+    )
+    return out.select(
+        "admin_id", "time", "count", F.round("weighted_mean", 6).alias("weighted_mean")
+    )
+
+
+def _engine_raster(spark: SparkSession, grid: Grid):
+    key = f"raster-{id(spark)}-{grid.nx}x{grid.ny}"
+    if key not in _CACHE:
+        admins = admins_df(spark)
+        cover = build_cover(admins, grid, supersample=8).cache()
+        cover.count()
+        _CACHE[key] = (cover, None, None)
+    return _CACHE[key]
+
+
+def q_resample_bilinear_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear regrid of the synthetic raster to a finer grid, then
+    per-variable summary (pytest carries the exactness oracle)."""
+    from .operators.resample import resample_sparse_bilinear
+    from .synth import grid_pixels_table
+
+    src = Grid(x0=100.0, dx=0.25, nx=65, y0=10.0, dy=0.25, ny=33)
+    tgt = Grid(x0=100.5, dx=0.1, nx=120, y0=10.5, dy=0.1, ny=60)
+    px = grid_pixels_table(spark, hours=2)
+    out = resample_sparse_bilinear(px, src, tgt, dims=["var", "time"])
+    return out.groupBy("var").agg(
+        F.count("*").alias("n_pixels"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_na"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import lang_id_udf
+
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("pred_lang", lang_id_udf()(F.col("text")))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+
 def q_minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     out = minhash_near_dupes(docs, "text", "doc_id", min_jaccard=0.2)
@@ -492,6 +679,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dupes": q_minhash_near_dupes,
         "simhash_near_dupes": q_simhash_near_dupes,
         "phash_dedup_pairs": q_phash_dedup_pairs,
+        "crop_bbox_count": q_crop_bbox_count,
+        "validate_per_slice": q_validate_per_slice,
+        "durations_matrix": q_durations_matrix,
+        "top3_per_admin": q_top3_per_admin,
+        "images_decode_stats": q_images_decode_stats,
+        "raster_zonal_weighted_mean": q_raster_zonal_weighted_mean,
+        "resample_bilinear_summary": q_resample_bilinear_summary,
+        "lang_id_counts": q_lang_id_counts,
     }
 
 
@@ -511,5 +706,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_stats": SQL_DOC_DEDUP_STATS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
-        # LSH/phash families: rows-only (driver's weaker check)
+        "crop_bbox_count": SQL_CROP_BBOX_COUNT,
+        "validate_per_slice": SQL_VALIDATE_PER_SLICE,
+        "durations_matrix": SQL_DURATIONS_MATRIX,
+        "top3_per_admin": SQL_TOP3_PER_ADMIN,
+        # LSH/phash families, image decode, raster/resample paths:
+        # rows-only here (driver's weaker check); pytest carries their
+        # exact NumPy oracles (tests/test_zonal_raster.py,
+        # tests/test_resample.py, tests/test_images.py, tests/test_dedup.py)
     }

@@ -51,7 +51,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # NOTE: a large heap (48g) measured 5x SLOWER than 12g on this
+        # hypervisor (GC scan/page-fault cost grows with heap, amplified at
+        # high thread counts); see BENCH/BASELINE.md. Raise only for
+        # genuinely large broadcasts/collects.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -72,6 +72,31 @@ def admin_rect_geoms() -> list[tuple[str, str, str, bytes]]:
     return out
 
 
+def admin_wiggly_geoms(vertices: int = 256, amplitude: float = 0.02) -> list[tuple[str, str, str, bytes]]:
+    """Realistic-complexity admins: each 1-degree cell becomes a ~``vertices``-
+    vertex polygon whose border wiggles sinusoidally around the rectangle
+    (real GADM-2 shapes carry hundreds-thousands of vertices — the 4-vertex
+    rectangles are the toy case). Deterministic per admin index."""
+    out = []
+    per_side = vertices // 4
+    t = np.arange(per_side) / per_side  # [0,1) along each side
+    for r in range(ADMIN_NY):
+        for c in range(ADMIN_NX):
+            i = r * ADMIN_NX + c
+            x0, y0 = DOMAIN.minx + c, DOMAIN.miny + r
+            phase = i * 0.7
+            wig = lambda tt, k: amplitude * np.sin(2 * np.pi * (k * tt) + phase)
+            bottom = np.stack([x0 + t, y0 + wig(t, 6)], axis=1)
+            right = np.stack([x0 + 1 + wig(t, 6), y0 + t], axis=1)
+            top = np.stack([x0 + 1 - t, y0 + 1 + wig(t, 6)], axis=1)
+            left = np.stack([x0 + wig(t, 6), y0 + 1 - t], axis=1)
+            ring = np.vstack([bottom, right, top, left, bottom[:1]])
+            out.append(
+                (f"ADM2-{i:02d}", f"ADM1-{r:01d}", f"District {i}", rings_to_wkb([[ring]]))
+            )
+    return out
+
+
 def admin_fancy_geoms() -> list[tuple[str, str, str, bytes]]:
     """Concave L-shape, donut (hole), multipolygon, and an 'excluded
     archipelago' outside the raster extent — the shapes the reference's
@@ -92,8 +117,14 @@ def admin_fancy_geoms() -> list[tuple[str, str, str, bytes]]:
     ]
 
 
-def admins_df(spark: SparkSession, fancy: bool = False) -> DataFrame:
-    rows = admin_fancy_geoms() if fancy else admin_rect_geoms()
+def admins_df(
+    spark: SparkSession, fancy: bool = False, wiggly: bool = False
+) -> DataFrame:
+    rows = (
+        admin_fancy_geoms()
+        if fancy
+        else (admin_wiggly_geoms() if wiggly else admin_rect_geoms())
+    )
     df = spark.createDataFrame(
         rows, "admin_id string, admin1_id string, name string, geometry binary"
     )

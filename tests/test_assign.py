@@ -55,15 +55,16 @@ def test_assignment_matches_bruteforce_oracle(spark, fancy_setup):
     assert got.notna().sum() > 500
 
 
-def test_no_interior_rows_hit_python(spark, fancy_setup):
-    """Interior-cell hits must bypass the PIP UDF: the physical plan keeps
-    them in a pure-JVM branch (scan + broadcast join + filter only)."""
+def test_single_scan_single_arrow_pass(spark, fancy_setup):
+    """The assignment plan must scan the source once and cross the Arrow
+    boundary once (a 100 TB fact table cannot afford a double read)."""
     _, cover, wkb = fancy_setup
     pts = spark.createDataFrame([(0.5, 0.5)], "lon double, lat double")
     out = assign_admin(pts, cover, wkb, GRID)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # PIP UDF (ArrowEvalPython) appears exactly once — only on the boundary branch
     assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Union") == 0
 
 
 def test_determinism_across_partitionings(spark, fancy_setup):

@@ -63,6 +63,25 @@ def test_distributed_build_matches_local(spark):
         np.testing.assert_allclose(got.coverage, want.coverage)
 
 
+def test_wiggly_admins_cover_and_pip():
+    """Realistic-complexity (256-vertex) admins: cover area ~= 1 deg^2 per
+    admin; points well inside/outside classify correctly."""
+    from geoglue_spark.synth import admin_wiggly_geoms
+    from geoglue_spark.pip import points_in_geom
+
+    grid = Grid(x0=100.0, dx=0.05, nx=200, y0=10.0, dy=0.05, ny=200)
+    rows = admin_wiggly_geoms()
+    assert len(rows) == 100
+    aid, _, _, wkb = rows[0]
+    geom = wkb_to_rings(wkb)
+    assert sum(len(r) for p in geom for r in p) >= 250  # realistic vertex count
+    pdf = build_cover_local(aid, geom, grid, supersample=8)
+    # total covered area in cells ~= 1 sq deg = 400 cells of 0.05x0.05
+    assert abs(pdf.coverage.sum() - 400.0) < 15.0
+    assert points_in_geom([100.5], [10.5], geom)[0]  # deep inside
+    assert not points_in_geom([102.5], [10.5], geom)[0]  # other admin
+
+
 def test_cover_stats(spark):
     grid = Grid(x0=100.0, dx=0.125, nx=80, y0=10.0, dy=0.125, ny=80)
     admins = admins_df(spark).limit(2)
