@@ -122,9 +122,13 @@ def cosine_topk_lsh(
     rng = np.random.Generator(np.random.PCG64(42))
     planes = rng.standard_normal((dim, n_bits))
     q_sigs = {}
+    qvecs = {}
     for qid, v in queries:
-        bits = (np.asarray(v, np.float64) @ planes) > 0
+        vec = np.asarray(v, np.float64)
+        bits = (vec @ planes) > 0
         q_sigs[qid] = int(sum(int(b) << i for i, b in enumerate(bits)))
+        n = np.linalg.norm(vec)
+        qvecs[int(qid)] = vec / (n if n else 1.0)
 
     spark = candidates.sparkSession
     qsig_df = F.broadcast(
@@ -132,21 +136,29 @@ def cosine_topk_lsh(
             [(qid, s) for qid, s in q_sigs.items()], "query_id long, qsig long"
         )
     )
-    pruned = (
-        with_sig.join(
-            qsig_df,
-            F.bit_count(F.col("_sig").bitwiseXOR(F.col("qsig"))) <= probe_hamming,
-        )
-        .select(id_col, vec_col, "query_id")
+    # bucket prune: one broadcast join (tiny NLJ on the Hamming predicate)
+    pruned = with_sig.join(
+        qsig_df,
+        F.bit_count(F.col("_sig").bitwiseXOR(F.col("qsig"))) <= probe_hamming,
+    ).select(id_col, vec_col, "query_id")
+
+    # single-pass scoring: one scalar pandas UDF over (query_id, vec)
+    bc = spark.sparkContext.broadcast(qvecs)
+
+    @F.pandas_udf("double")
+    def sim_udf(query_id: pd.Series, vec: pd.Series) -> pd.Series:
+        qv = bc.value
+        cmat = _normalize(np.stack(vec.apply(lambda v: np.asarray(v, np.float64))))
+        qmat = np.stack([qv[int(q)] for q in query_id])
+        s = np.einsum("ij,ij->i", cmat, qmat)
+        if sim_decimals is not None:
+            s = np.round(s, sim_decimals)
+        return pd.Series(s)
+
+    scored = pruned.withColumn("sim", sim_udf(F.col("query_id"), F.col(vec_col)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col(id_col).alias("neighbor_id"), "sim")
     )
-    # score only the pruned candidates, per query
-    out = []
-    for qid, v in queries:
-        sub = pruned.filter(F.col("query_id") == qid).drop("query_id")
-        out.append(
-            cosine_topk(sub, [(qid, v)], k, id_col, vec_col, sim_decimals)
-        )
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res

@@ -557,6 +557,42 @@ SELECT admin_id, CAST(rk AS INT) AS rk, event_id, value FROM (
 """
 
 
+def q_knn_admin_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: 3 nearest admin centroids per point via cell-ring expansion."""
+    from .operators.knn import admin_centroids, knn_join
+
+    pts = _points(spark, sf_dir).select("event_id", "lon", "lat")
+    cents = admin_centroids(admins_df(spark))
+    return knn_join(pts, cents, QUERY_GRID, k=3, id_cols=["event_id"]).select(
+        "event_id", "rk", "admin_id"
+    )
+
+
+SQL_KNN_ADMIN_CENTROIDS = f"""
+{_POINTS_CTE},
+cents AS (
+  SELECT printf('ADM2-%02d', a) AS admin_id,
+         100.5 + (a % 10) AS clon,
+         10.5 + (a // 10) AS clat
+  FROM (SELECT CAST(unnest(generate_series(0, 99)) AS INT) AS a)
+),
+d AS (
+  SELECT p.event_id, c.admin_id,
+         2.0 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(c.clat - p.lat) / 2), 2)
+           + cos(radians(p.lat)) * cos(radians(c.clat))
+             * pow(sin(radians(c.clon - p.lon) / 2), 2)
+         )) AS dist_km
+  FROM points p CROSS JOIN cents c
+)
+SELECT event_id, CAST(rk AS INT) AS rk, admin_id FROM (
+  SELECT event_id, admin_id,
+         row_number() OVER (PARTITION BY event_id ORDER BY dist_km, admin_id) AS rk
+  FROM d
+) WHERE rk <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only checks (not SQL-expressible): LSH families + image dedup
 # ---------------------------------------------------------------------------
@@ -683,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_per_slice": q_validate_per_slice,
         "durations_matrix": q_durations_matrix,
         "top3_per_admin": q_top3_per_admin,
+        "knn_admin_centroids": q_knn_admin_centroids,
         "images_decode_stats": q_images_decode_stats,
         "raster_zonal_weighted_mean": q_raster_zonal_weighted_mean,
         "resample_bilinear_summary": q_resample_bilinear_summary,
@@ -710,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_per_slice": SQL_VALIDATE_PER_SLICE,
         "durations_matrix": SQL_DURATIONS_MATRIX,
         "top3_per_admin": SQL_TOP3_PER_ADMIN,
+        "knn_admin_centroids": SQL_KNN_ADMIN_CENTROIDS,
         # LSH/phash families, image decode, raster/resample paths:
         # rows-only here (driver's weaker check); pytest carries their
         # exact NumPy oracles (tests/test_zonal_raster.py,

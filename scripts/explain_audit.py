@@ -21,6 +21,14 @@ FLAGS = {
     "BroadcastNestedLoopJoin": "nested-loop join",
 }
 
+# Intentional broadcast nested-loop joins against tiny broadcast sides:
+# the join predicate is inherently non-equi (Hamming distance / box range)
+# and the broadcast relation is O(100) rows, so BNLJ IS the right plan.
+ALLOW = {
+    "ann_cosine_topk_lsh": {"BroadcastNestedLoopJoin"},
+    "knn_admin_centroids": {"BroadcastNestedLoopJoin"},
+}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -32,7 +40,8 @@ def main() -> int:
             continue
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        flags = [msg for pat, msg in FLAGS.items() if pat in plan]
+        allowed = ALLOW.get(name, set())
+        flags = [msg for pat, msg in FLAGS.items() if pat in plan and pat not in allowed]
         n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
             "Exchange rangepartitioning"
         )

@@ -1,0 +1,72 @@
+"""kNN-to-admin-centroid (J7) vs a brute-force NumPy oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geoglue_spark.grids import Grid
+from geoglue_spark.operators.knn import admin_centroids, haversine_km_col, knn_join
+from geoglue_spark.synth import admins_df
+
+GRID = Grid(x0=100.0, dx=0.05, nx=200, y0=10.0, dy=0.05, ny=200)
+
+
+def _haversine_np(lon1, lat1, lon2, lat2):
+    r = 6371.0088
+    la1, la2 = np.radians(lat1), np.radians(lat2)
+    dlat = la2 - la1
+    dlon = np.radians(lon2 - lon1)
+    a = np.sin(dlat / 2) ** 2 + np.cos(la1) * np.cos(la2) * np.sin(dlon / 2) ** 2
+    return 2 * r * np.arcsin(np.sqrt(a))
+
+
+@pytest.fixture(scope="module")
+def cents(spark):
+    return admin_centroids(admins_df(spark)).cache()
+
+
+def test_centroids_are_cell_centers(spark, cents):
+    pdf = cents.toPandas().set_index("admin_id")
+    # rect admins: vertex-mean of the closed square ring = center-ish
+    row = pdf.loc["ADM2-00"]
+    assert abs(row.clon - 100.5) < 1e-9 and abs(row.clat - 10.5) < 1e-9
+    assert len(pdf) == 100
+
+
+def test_knn_matches_bruteforce(spark, cents):
+    n = 500
+    i = np.arange(n)
+    lon = 100.0 + (i * 7919 % 9973) / 9973.0 * 10.0
+    lat = 10.0 + (i * 6007 % 9973) / 9973.0 * 10.0
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": i, "lon": lon, "lat": lat})
+    )
+    got = knn_join(pts, cents, GRID, k=3, id_cols=["pid"]).toPandas()
+    cpd = cents.toPandas()
+    assert len(got) == n * 3
+    for pid in range(0, n, 37):  # spot-check a deterministic sample
+        d = _haversine_np(lon[pid], lat[pid], cpd.clon.to_numpy(), cpd.clat.to_numpy())
+        order = np.lexsort((cpd.admin_id.to_numpy(), d))[:3]
+        want = list(cpd.admin_id.to_numpy()[order])
+        g = got[got.pid == pid].sort_values("rk").admin_id.tolist()
+        assert g == want, f"pid={pid}: got {g} want {want}"
+
+
+def test_knn_deterministic_across_partitionings(spark, cents):
+    pdf = pd.DataFrame(
+        {"pid": range(200), "lon": [100.2 + (j % 50) * 0.19 for j in range(200)],
+         "lat": [10.2 + (j % 40) * 0.24 for j in range(200)]}
+    )
+    pts = spark.createDataFrame(pdf)
+    a = knn_join(pts.repartition(2), cents, GRID, k=2, id_cols=["pid"]).orderBy("pid", "rk").toPandas()
+    b = knn_join(pts.repartition(11), cents, GRID, k=2, id_cols=["pid"]).orderBy("pid", "rk").toPandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_haversine_column(spark):
+    df = spark.createDataFrame([(0.0, 0.0, 0.0, 1.0)], "a double, b double, c double, d double")
+    km = df.select(
+        haversine_km_col(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")
+    ).collect()[0].km
+    assert abs(km - 111.19) < 0.1  # one degree of latitude
