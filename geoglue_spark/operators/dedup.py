@@ -241,6 +241,80 @@ def simhash_near_dupes(
 
 
 # --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+def embedding_near_dupes(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.95,
+    n_bits: int = 12,
+    band_hamming: int = 1,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    Candidate generation via random-hyperplane signatures (same family as
+    similarity.cosine_topk_lsh): pairs whose signatures differ in
+    <= band_hamming bits are scored exactly; never all-pairs. Output
+    (id_a, id_b, cosine) canonicalized a < b.
+    """
+    import pandas as pd
+
+    from .similarity import hyperplane_signature_udf, _normalize
+
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], f"id_a long, id_b long, cosine double"
+        )
+    dim = len(first[0])
+    sig = hyperplane_signature_udf(dim, n_bits)
+    with_sig = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig(F.col(vec_col)).alias("_sig")
+    )
+    # multiprobe equi-join (scales, unlike a non-equi self-join): the LEFT
+    # side emits its signature plus every <=band_hamming-bit-flip variant;
+    # an exact match on the RIGHT's plain signature covers all pairs within
+    # that Hamming radius. Fan-out = 1 + n_bits (for radius 1).
+    if band_hamming > 1:
+        raise NotImplementedError("multiprobe implemented for band_hamming <= 1")
+    probes = [F.col("_sig")]
+    if band_hamming >= 1:
+        probes += [
+            F.col("_sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)
+        ]
+    a = with_sig.select(
+        "_id", "_v", F.explode(F.array(*probes)).alias("_probe")
+    ).alias("a")
+    b = with_sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._probe") == F.col("b._sig")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def cos_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = _normalize(np.stack(va.apply(lambda v: np.asarray(v, np.float64))))
+        mb = _normalize(np.stack(vb.apply(lambda v: np.asarray(v, np.float64))))
+        return pd.Series(np.round(np.einsum("ij,ij->i", ma, mb), 6))
+
+    return (
+        cand.withColumn("cosine", cos_udf(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
 # n-gram Jaccard verification (exact, for candidate pairs)
 # --------------------------------------------------------------------------
 def ngram_jaccard_pairs(

@@ -162,6 +162,31 @@ def rolling_weekly(
     return weekly.withColumn(f"rolling_{how}", _AGG[how](F.col(value_col)).over(w))
 
 
+def positional_slice(
+    df: DataFrame,
+    start: int | None = None,
+    stop: int | None = None,
+    order_col: str = "time",
+    keys: list[str] = (),
+) -> DataFrame:
+    """W4: positional slicing over time order per key — the Spark analog of
+    xarray's ``isel(slice(start, stop))`` (reference cds.py:285-291).
+    Negative indices count from the end, like Python slices."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys) if keys else W.partitionBy(F.lit(1))
+    df = df.withColumn("_rn", F.row_number().over(w.orderBy(order_col)) - 1)
+    df = df.withColumn("_n", F.count("*").over(w))
+    cond = F.lit(True)
+    if start is not None:
+        s = F.lit(start) if start >= 0 else F.col("_n") + F.lit(start)
+        cond = cond & (F.col("_rn") >= s)
+    if stop is not None:
+        e = F.lit(stop) if stop >= 0 else F.col("_n") + F.lit(stop)
+        cond = cond & (F.col("_rn") < e)
+    return df.filter(cond).drop("_rn", "_n")
+
+
 def year_bounds_check(df: DataFrame, year: int, time_col: str = "local_time") -> None:
     """Assert the shifted year covers exactly YYYY-01-01 00 .. YYYY-12-31 23
     (reference cds.py:916-929)."""

@@ -669,6 +669,26 @@ def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection. The driver testdata has no true
+    near-dups (max pairwise cosine ~0.51), so duplicates of the first 20
+    vectors are injected at vec_id+100000 — the detector must recover
+    exactly those pairs at cosine 1.0."""
+    from .operators.dedup import embedding_near_dupes
+
+    emb = _table(spark, sf_dir, "embeddings")
+    dupes = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    return embedding_near_dupes(emb.unionByName(dupes), min_cosine=0.9)
+
+
+SQL_EMBEDDING_NEAR_DUPES = """
+SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
+FROM embeddings WHERE vec_id < 20
+"""
+
+
 def q_minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     out = minhash_near_dupes(docs, "text", "doc_id", min_jaccard=0.2)
@@ -715,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dupes": q_minhash_near_dupes,
         "simhash_near_dupes": q_simhash_near_dupes,
         "phash_dedup_pairs": q_phash_dedup_pairs,
+        "embedding_near_dupes": q_embedding_near_dupes,
         "crop_bbox_count": q_crop_bbox_count,
         "validate_per_slice": q_validate_per_slice,
         "durations_matrix": q_durations_matrix,
@@ -748,6 +769,7 @@ def oracle_sql() -> dict[str, str]:
         "durations_matrix": SQL_DURATIONS_MATRIX,
         "top3_per_admin": SQL_TOP3_PER_ADMIN,
         "knn_admin_centroids": SQL_KNN_ADMIN_CENTROIDS,
+        "embedding_near_dupes": SQL_EMBEDDING_NEAR_DUPES,
         # LSH/phash families, image decode, raster/resample paths:
         # rows-only here (driver's weaker check); pytest carries their
         # exact NumPy oracles (tests/test_zonal_raster.py,

@@ -68,6 +68,25 @@ def test_phash_near_dupes_on_images(spark):
     assert injected <= got
 
 
+def test_embedding_near_dupes(spark):
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    base = rng.standard_normal((20, 16))
+    vecs = list(base)
+    vecs.append(base[0] + rng.standard_normal(16) * 0.01)  # near-dup of 0 -> id 20
+    vecs.append(base[5])  # exact dup of 5 -> id 21
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = D.embedding_near_dupes(df, min_cosine=0.98).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 20) in got and (5, 21) in got
+    exact = pairs[(pairs.id_a == 5) & (pairs.id_b == 21)].cosine.iloc[0]
+    assert exact == 1.0
+    # random independent gaussians must not collide at 0.98
+    assert all(a in (0, 5) or b in (20, 21) for a, b in got)
+
+
 def test_dedup_determinism_across_partitionings(spark, docs):
     a = D.minhash_near_dupes(docs.repartition(1), "text", "doc_id", min_jaccard=0.2)
     b = D.minhash_near_dupes(docs.repartition(7), "text", "doc_id", min_jaccard=0.2)

@@ -127,6 +127,16 @@ def test_rolling_weekly(spark, hourly):
     assert rolled.filter(F.col("rolling_mean").isNull()).count() == 0
 
 
+def test_positional_slice(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "time int")
+    got = sorted(r.time for r in TA.positional_slice(df, -3, None).collect())
+    assert got == [7, 8, 9]
+    got = sorted(r.time for r in TA.positional_slice(df, 2, 5).collect())
+    assert got == [2, 3, 4]
+    got = sorted(r.time for r in TA.positional_slice(df, None, -8).collect())
+    assert got == [0, 1]
+
+
 def test_is_hourly(spark, hourly):
     assert TA.is_hourly(hourly)
     assert not TA.is_hourly(hourly.filter(F.hour("time") < 23))
