@@ -13,7 +13,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+_SHIPPED: set[str] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the geoglue_spark package to Python workers of an ALREADY
+    RUNNING SparkContext (the driver builds its own session before importing
+    this module, so env-var PYTHONPATH is too late). ``addPyFile`` of a
+    package zip is the runtime analog of ``spark-submit --py-files``."""
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    zip_base = os.path.join(tempfile.gettempdir(), f"geoglue_spark_pkg_{os.getpid()}")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip", root_dir=_REPO, base_dir="geoglue_spark")
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(app)
 
 from geoglue_spark import queries as _q  # noqa: E402
 
@@ -25,6 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from geoglue_spark.operators.zonal import zonal_stats
 
+    _ensure_shipped(spark)
     assigned = _q._assigned(spark, "/root/testdata/sf0.001")
     out = zonal_stats(assigned, "value", ["count", "mean", "sum"])
     return out.select(
@@ -36,7 +60,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _q.queries()
+    def shipped(fn):
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        return wrapper
+
+    return {name: shipped(fn) for name, fn in _q.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
