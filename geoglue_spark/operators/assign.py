@@ -20,6 +20,7 @@ cost is one scan + one broadcast + one partial-agg shuffle.
 
 from __future__ import annotations
 
+import uuid
 from typing import Iterator
 
 import numpy as np
@@ -32,12 +33,15 @@ from ..geometry import wkb_to_rings
 from ..grids import Grid
 from ..pip import PreparedGeom, points_in_geom
 
-# per-executor cache: broadcast id -> {admin_id: PreparedGeom}
-_PREP_CACHE: dict[int, dict[str, PreparedGeom]] = {}
+# per-executor cache: stable UDF-construction token -> {admin_id: PreparedGeom}.
+# Keyed by a uuid baked into each UDF closure, NOT id(bc): Python id() values
+# are reused after GC, so on a long-lived executor a new broadcast could alias
+# a dead one's entries and silently return the wrong prepared geometry.
+_PREP_CACHE: dict[str, dict[str, PreparedGeom]] = {}
 
 
-def _prepared(bc, admin_id: str) -> PreparedGeom:
-    cache = _PREP_CACHE.setdefault(id(bc), {})
+def _prepared(token: str, bc, admin_id: str) -> PreparedGeom:
+    cache = _PREP_CACHE.setdefault(token, {})
     prep = cache.get(admin_id)
     if prep is None:
         prep = PreparedGeom(wkb_to_rings(bc.value[admin_id]))
@@ -52,6 +56,7 @@ def make_pip_udf(spark: SparkSession, admin_wkb: dict[str, bytes]):
     Arrow batch, rows are grouped by admin and each group is tested in one
     vectorized NumPy ray-cast (no per-row Python)."""
     bc = spark.sparkContext.broadcast(admin_wkb)
+    token = uuid.uuid4().hex
 
     @F.pandas_udf(T.BooleanType())
     def pip_udf(admin_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -60,7 +65,7 @@ def make_pip_udf(spark: SparkSession, admin_wkb: dict[str, bytes]):
         lat_np = lat.to_numpy(np.float64)
         for aid, idx in admin_id.groupby(admin_id).groups.items():
             ii = np.asarray(idx)
-            out[ii] = points_in_geom(lon_np[ii], lat_np[ii], _prepared(bc, aid))
+            out[ii] = points_in_geom(lon_np[ii], lat_np[ii], _prepared(token, bc, aid))
         return pd.Series(out)
 
     return pip_udf
@@ -76,6 +81,7 @@ def make_keep_udf(spark: SparkSession, admin_wkb: dict[str, bytes]):
     pruned columns — payload columns (image bytes, captions) never leave
     the JVM."""
     bc = spark.sparkContext.broadcast(admin_wkb)
+    token = uuid.uuid4().hex
 
     @F.pandas_udf(T.BooleanType())
     def keep_udf(
@@ -89,7 +95,9 @@ def make_keep_udf(spark: SparkSession, admin_wkb: dict[str, bytes]):
             sub = admin_id[boundary]
             for aid, idx in sub.groupby(sub).groups.items():
                 ii = np.asarray(idx)
-                out[ii] = points_in_geom(lon_np[ii], lat_np[ii], _prepared(bc, aid))
+                out[ii] = points_in_geom(
+                    lon_np[ii], lat_np[ii], _prepared(token, bc, aid)
+                )
         return pd.Series(out)
 
     return keep_udf

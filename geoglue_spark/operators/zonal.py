@@ -32,15 +32,48 @@ ZONAL_OPS = (
 )
 
 
-def _agg_exprs(value: Column, weight: Column, ops: list[str]) -> list[Column]:
+def _agg_exprs(
+    value: Column, weight: Column, ops: list[str], cov_weight: Column | None = None
+) -> list[Column]:
+    """Aggregate expressions for the zonal op strings.
+
+    Two semantic modes:
+
+    * ``cov_weight is None`` — point-table mode: ``count``/``sum``/``mean``
+      are plain row aggregates; ``weighted_*`` use ``weight`` with a
+      null-value guard on the denominator (rows whose value is NULL
+      contribute to neither numerator nor denominator).
+    * ``cov_weight`` given — exactextract mode (reference
+      src/geoglue/zonalstats.py:43-63 + exactextract's operation set):
+      ``count`` = sum of coverage fractions x coverage weight over defined
+      values, ``sum`` = sum(value x cov_weight), ``mean`` = sum/count, and
+      the ``area_weighted_sum`` composite = weighted_sum / count — the
+      denominator is the coverage-weight sum, NOT the row count.
+    """
+    w_defined = F.sum(F.when(value.isNotNull(), weight))
     exprs: list[Column] = []
     for op in ops:
         if op == "count":
-            exprs.append(F.count(value).alias("count"))
+            exprs.append(
+                F.count(value).alias("count")
+                if cov_weight is None
+                else F.sum(F.when(value.isNotNull(), cov_weight)).alias("count")
+            )
         elif op == "sum":
-            exprs.append(F.sum(value).alias("sum"))
+            exprs.append(
+                F.sum(value).alias("sum")
+                if cov_weight is None
+                else F.sum(value * cov_weight).alias("sum")
+            )
         elif op == "mean":
-            exprs.append(F.avg(value).alias("mean"))
+            exprs.append(
+                F.avg(value).alias("mean")
+                if cov_weight is None
+                else (
+                    F.sum(value * cov_weight)
+                    / F.sum(F.when(value.isNotNull(), cov_weight))
+                ).alias("mean")
+            )
         elif op == "min":
             exprs.append(F.min(value).alias("min"))
         elif op == "max":
@@ -48,14 +81,17 @@ def _agg_exprs(value: Column, weight: Column, ops: list[str]) -> list[Column]:
         elif op == "weighted_sum":
             exprs.append(F.sum(value * weight).alias("weighted_sum"))
         elif op == "weighted_mean":
-            exprs.append(
-                (F.sum(value * weight) / F.sum(weight)).alias("weighted_mean")
-            )
+            exprs.append((F.sum(value * weight) / w_defined).alias("weighted_mean"))
         elif op == "area_weighted_sum":
-            # reference composite: weighted_sum / count (zonalstats.py:43-63)
-            exprs.append(
-                (F.sum(value * weight) / F.count(value)).alias("area_weighted_sum")
+            # reference composite: weighted_sum / count (zonalstats.py:43-63),
+            # count = coverage-weight sum over defined values (exactextract),
+            # NOT the row count.
+            denom = (
+                F.sum(F.when(value.isNotNull(), cov_weight))
+                if cov_weight is not None
+                else w_defined
             )
+            exprs.append((F.sum(value * weight) / denom).alias("area_weighted_sum"))
         else:
             raise ValueError(f"unknown zonal op {op!r}; allowed: {ZONAL_OPS}")
     return exprs
@@ -90,7 +126,7 @@ def zonal_stats(
         F.min(value).alias("_min"),
         F.max(value).alias("_max"),
         F.sum(value * weight).alias("_vw"),
-        F.sum(weight).alias("_w"),
+        F.sum(F.when(value.isNotNull(), weight)).alias("_wd"),
     )
     final = partial.groupBy(*keys).agg(
         F.sum("_n").alias("count"),
@@ -98,9 +134,9 @@ def zonal_stats(
         (F.sum("_s") / F.sum("_n")).alias("mean"),
         F.min("_min").alias("min"),
         F.max("_max").alias("max"),
-        (F.sum("_vw") / F.sum("_w")).alias("weighted_mean"),
+        (F.sum("_vw") / F.sum("_wd")).alias("weighted_mean"),
         F.sum("_vw").alias("weighted_sum"),
-        (F.sum("_vw") / F.sum("_n")).alias("area_weighted_sum"),
+        (F.sum("_vw") / F.sum("_wd")).alias("area_weighted_sum"),
     )
     return final.select(*keys, *ops)
 
@@ -131,6 +167,9 @@ def raster_zonal_stats(
     (the reference's incompatible-extent precondition,
     tests/test_zonalstats.py:51-54); verified here by joining on cell_id.
     """
+    if "area_weighted_sum" in ops and weights is None:
+        # reference gate: zonalstats.py:89-90
+        raise ValueError("area_weighted_sum requires weights to be set")
     if weights is not None and check_extent:
         # J3 precondition: exactextract's "Incompatible extent" gate
         # (tests/test_zonalstats.py:51-54) — weights must live on the value
@@ -147,9 +186,14 @@ def raster_zonal_stats(
     cov = F.broadcast(cover.select("cell_id", "admin_id", "coverage"))
     joined = px.join(cov, "cell_id", "inner")
 
-    w: Column = F.col("coverage")
+    # exactextract's two weights: the coverage weight (coverage fraction x
+    # spherical area, used by count/sum/mean and the area_weighted_sum
+    # denominator) and the full weight (x weights raster, used by
+    # weighted_sum / weighted_mean numerators).
+    cov_w: Column = F.col("coverage")
     if use_spherical_area:
-        w = w * grid.cell_area_km2_col(F.col("cell_id"))
+        cov_w = cov_w * grid.cell_area_km2_col(F.col("cell_id"))
+    w = cov_w
     if weights is not None:
         wpx = weights.withColumn(
             "cell_id", grid.cell_id_col(F.col(lon_col), F.col(lat_col))
@@ -159,8 +203,14 @@ def raster_zonal_stats(
         )
         w = w * F.col("_wraster")
 
-    joined = joined.withColumn("_weight", w).filter(F.col(value_col).isNotNull())
+    joined = (
+        joined.withColumn("_covw", cov_w)
+        .withColumn("_weight", w)
+        .filter(F.col(value_col).isNotNull())
+    )
     keys = ["admin_id", *by_dims]
     return joined.groupBy(*keys).agg(
-        *_agg_exprs(F.col(value_col), F.col("_weight"), list(ops))
+        *_agg_exprs(
+            F.col(value_col), F.col("_weight"), list(ops), cov_weight=F.col("_covw")
+        )
     )

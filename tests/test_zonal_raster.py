@@ -38,7 +38,10 @@ def setup(spark):
 
 
 def _numpy_oracle(admins_rows, op):
-    """Independent per-admin computation from local cover + dense values."""
+    """Independent per-admin computation from local cover + dense values,
+    using exactextract's definitions (count = coverage-weight sum over
+    defined values, NOT the row count; area_weighted_sum = weighted_sum /
+    count with the weights raster folded into the numerator only)."""
     out = {}
     for r in admins_rows:
         pdf = build_cover_local(r.admin_id, wkb_to_rings(r.geometry), GRID, SUPER)
@@ -52,9 +55,10 @@ def _numpy_oracle(admins_rows, op):
         elif op == "weighted_sum":
             out[r.admin_id] = (v * w).sum()
         elif op == "count":
-            out[r.admin_id] = len(v)
+            out[r.admin_id] = w.sum()
         elif op == "area_weighted_sum":
-            out[r.admin_id] = (v * w).sum() / len(v)
+            p = (np.abs(lon - 104.5) < 1.0).astype(float) * 100.0 + 1.0
+            out[r.admin_id] = (v * w * p).sum() / w.sum()
     return out
 
 
@@ -70,19 +74,47 @@ def test_weighted_mean_matches_numpy_oracle(spark, setup):
         np.testing.assert_allclose(got[aid], want[aid], rtol=1e-12)
 
 
+def _pop_weights_df(spark):
+    ix, iy = np.meshgrid(np.arange(GRID.nx), np.arange(GRID.ny))
+    lon, lat = GRID.centers(ix.ravel(), iy.ravel())
+    pop = (np.abs(lon - 104.5) < 1.0).astype(float) * 100.0 + 1.0  # urban strip
+    return spark.createDataFrame(
+        [(float(a), float(b), float(p)) for a, b, p in zip(lon, lat, pop)],
+        "lon double, lat double, weight double",
+    )
+
+
 def test_weighted_and_area_weighted_sum(spark, setup):
     admins, cover, pixels = setup
     res = raster_zonal_stats(
-        pixels, cover, GRID, ops=["count", "weighted_sum", "area_weighted_sum"]
+        pixels, cover, GRID, ops=["count", "weighted_sum"]
     ).collect()
     want_ws = _numpy_oracle(admins.collect(), "weighted_sum")
-    want_aws = _numpy_oracle(admins.collect(), "area_weighted_sum")
     want_n = _numpy_oracle(admins.collect(), "count")
     for r in res:
         np.testing.assert_allclose(r.weighted_sum, want_ws[r.admin_id], rtol=1e-12)
-        np.testing.assert_allclose(r.area_weighted_sum, want_aws[r.admin_id], rtol=1e-12)
-        assert r["count"] == want_n[r.admin_id]
+        np.testing.assert_allclose(r["count"], want_n[r.admin_id], rtol=1e-12)
         assert r.weighted_sum >= 0  # non-negativity (reference test style)
+
+
+def test_area_weighted_sum_composite(spark, setup):
+    """area_weighted_sum = weighted_sum / count (reference
+    zonalstats.py:43-63): weights raster in the numerator only, coverage-
+    weight sum (NOT row count) in the denominator."""
+    admins, cover, pixels = setup
+    res = raster_zonal_stats(
+        pixels, cover, GRID, ops=["area_weighted_sum"], weights=_pop_weights_df(spark)
+    ).collect()
+    want = _numpy_oracle(admins.collect(), "area_weighted_sum")
+    for r in res:
+        np.testing.assert_allclose(r.area_weighted_sum, want[r.admin_id], rtol=1e-12)
+
+
+def test_area_weighted_sum_requires_weights(spark, setup):
+    """Reference gate zonalstats.py:89-90."""
+    admins, cover, pixels = setup
+    with pytest.raises(ValueError, match="requires weights"):
+        raster_zonal_stats(pixels, cover, GRID, ops=["area_weighted_sum"])
 
 
 def test_nan_pixels_excluded(spark, setup):
@@ -139,15 +171,17 @@ def test_incompatible_extent_raises(spark, setup):
 
 
 def test_salted_agg_matches_plain(spark, setup):
-    """Two-level salted aggregation must equal the direct aggregation."""
-    admins, cover, wkb = setup[0], setup[1], None
+    """Two-level salted aggregation must equal the direct aggregation
+    (both on the point-table path, where count = row count)."""
     pixels = setup[2]
-    joined = raster_zonal_stats(pixels, cover, GRID, ops=["count", "sum", "mean"])
-    plain = {r.admin_id: r for r in joined.collect()}
     assigned = (
         pixels.withColumn("cell_id", GRID.cell_id_col(F.col("lon"), F.col("lat")))
-        .join(F.broadcast(cover.select("cell_id", "admin_id")), "cell_id")
+        .join(F.broadcast(setup[1].select("cell_id", "admin_id")), "cell_id")
     )
+    plain = {
+        r.admin_id: r
+        for r in zonal_stats(assigned, "value", ["count", "sum", "mean"]).collect()
+    }
     salted = {
         r.admin_id: r
         for r in zonal_stats(assigned, "value", ["count", "sum", "mean"], salt=8).collect()
@@ -155,3 +189,18 @@ def test_salted_agg_matches_plain(spark, setup):
     for aid, r in plain.items():
         assert salted[aid]["count"] == r["count"]
         np.testing.assert_allclose(salted[aid]["sum"], r["sum"], rtol=1e-9)
+        np.testing.assert_allclose(salted[aid]["mean"], r["mean"], rtol=1e-9)
+
+
+def test_weighted_mean_null_guard_point_path(spark):
+    """Rows with NULL value must drop out of BOTH the numerator and the
+    denominator of weighted_mean (ADVICE: null weights previously counted
+    in the denominator, biasing the mean low)."""
+    df = spark.createDataFrame(
+        [("a", 10.0, 2.0), ("a", None, 100.0), ("a", 20.0, 2.0)],
+        "admin_id string, value double, w double",
+    )
+    got = zonal_stats(df, "value", ["weighted_mean"], weight_col="w").collect()[0]
+    np.testing.assert_allclose(got.weighted_mean, (10.0 * 2 + 20.0 * 2) / 4.0)
+    salted = zonal_stats(df, "value", ["weighted_mean"], weight_col="w", salt=4).collect()[0]
+    np.testing.assert_allclose(salted.weighted_mean, (10.0 * 2 + 20.0 * 2) / 4.0)
