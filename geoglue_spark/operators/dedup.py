@@ -45,18 +45,46 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFra
 
 
 # --------------------------------------------------------------------------
-# phash near-dup (Hamming distance on 64-bit perceptual hashes)
+# phash near-dup (Hamming distance on <=64-bit perceptual hashes)
 # --------------------------------------------------------------------------
+def _band_layout(sig_bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """(start_bit, width) per band, widths differing by at most 1."""
+    base, rem = divmod(sig_bits, n_bands)
+    out, start = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < rem else 0)
+        out.append((start, w))
+        start += w
+    return out
+
+
 def phash_near_dupes(
-    df: DataFrame, phash_col: str = "phash", id_col: str = "image_id", max_hamming: int = 8
+    df: DataFrame,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    max_hamming: int = 8,
+    sig_bits: int = 64,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs by phash Hamming distance.
 
-    Banding: split the 64-bit hash into 4 x 16-bit bands; two hashes within
-    Hamming distance 3 share >= 1 exact band (pigeonhole), and max_hamming
-    <= 8 keeps high recall in practice. Join is equi on (band_idx, band
-    value) — never all-pairs; XOR + bit_count verification is pure JVM.
+    Banding: split the ``sig_bits``-bit hash into ``n_bands`` near-equal
+    bands. By pigeonhole, two hashes within Hamming distance h share at
+    least one exact band iff n_bands > h — so the default
+    ``n_bands = max_hamming + 1`` makes candidate generation EXACT (100 %
+    recall), at band width sig_bits/(h+1); precision (bucket selectivity)
+    degrades as h grows, which is the standard LSH trade. Join is equi on
+    (band_idx, band value) — never all-pairs; XOR + bit_count verification
+    is pure JVM.
     """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} <= max_hamming={max_hamming}: banding would "
+            "miss pairs (pigeonhole requires n_bands > max_hamming)"
+        )
+    layout = _band_layout(sig_bits, n_bands)
     bands = df.select(
         F.col(id_col).alias("_id"),
         F.col(phash_col).alias("_ph"),
@@ -65,11 +93,14 @@ def phash_near_dupes(
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        F.shiftrightunsigned(F.col(phash_col), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("band"),
+                        (
+                            F.col(phash_col)  # full-width band: the mask would overflow
+                            if width >= 64
+                            else F.shiftrightunsigned(F.col(phash_col), start)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                        ).alias("band"),
                     )
-                    for i in range(4)
+                    for i, (start, width) in enumerate(layout)
                 ]
             )
         ).alias("b"),
@@ -98,6 +129,8 @@ def phash_near_dupes(
 # MinHash + LSH over text shingles
 # --------------------------------------------------------------------------
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Exact shingle-set hashes for the verify stage (ngram_jaccard_pairs).
+    blake2b here is fine — exact Jaccard is hash-choice-invariant."""
     toks = text.split()
     if len(toks) < k:
         grams = [" ".join(toks)] if toks else [""]
@@ -109,32 +142,55 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return out
 
 
-# universal-hash parameters: h_i(x) = (a_i * x + b_i) mod p, deterministic seed
-_MH_P = np.uint64((1 << 61) - 1)
+# Universal-hash family h_j(x) = (a_j * x + b_j) mod p over the Mersenne
+# prime p = 2^31 - 1. With a, b, x all < 2^31 every product fits in int64
+# with NO wraparound, so the family is genuinely universal and the
+# band-collision probability = Jaccard guarantee holds exactly (the earlier
+# 2^61-1 variant silently wrapped mod 2^64 before reducing). Shingle keys x
+# are the low 60 bits of md5(shingle) reduced mod p — md5 so the identical
+# signature is computable in the DuckDB oracle.
+MH_P = (1 << 31) - 1
 
 
 def _mh_params(n_perm: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.Generator(np.random.PCG64(42))
-    a = rng.integers(1, int(_MH_P), size=n_perm, dtype=np.uint64)
-    b = rng.integers(0, int(_MH_P), size=n_perm, dtype=np.uint64)
+    a = rng.integers(1, MH_P, size=n_perm, dtype=np.int64)
+    b = rng.integers(0, MH_P, size=n_perm, dtype=np.int64)
     return a, b
 
 
-def minhash_udf(n_perm: int = 64, shingle_k: int = 3):
-    """Arrow UDF: text -> array<long> of n_perm minhashes of word-k-shingles."""
+def shingle_key_col(gram: Column) -> Column:
+    """60-bit md5-based shingle key reduced mod 2^31-1 (JVM-side; identical
+    to DuckDB ``('0x' || substr(md5(g),1,15))::BIGINT % 2147483647``)."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long") % F.lit(MH_P)
+    )
+
+
+def word_shingles_col(text: Column, shingle_k: int) -> Column:
+    """array<string> of whitespace word k-shingles; whole-text fallback for
+    short docs (mirrors _shingle_hashes semantics)."""
+    toks = F.split(F.trim(text), r"\s+")
+    nt = F.size(toks)
+    idx = F.sequence(F.lit(1), nt - F.lit(shingle_k - 1))
+    return F.when(
+        nt < shingle_k, F.array(F.array_join(toks, " "))
+    ).otherwise(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, shingle_k), " ")))
+
+
+def minhash_sig_col(text: Column, n_perm: int = 64, shingle_k: int = 3) -> Column:
+    """MinHash signature as a pure Column expression (array<long>, length
+    n_perm) — zero Python in the hot path; whole-stage-codegen does the
+    hashing. Per doc: one md5 per shingle, then n_perm min-reductions of
+    (a*x+b) mod p over the shingle-key array."""
     a, b = _mh_params(n_perm)
+    xs = F.transform(word_shingles_col(text, shingle_k), shingle_key_col)
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def mh(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            sh = _shingle_hashes(t or "", shingle_k)
-            # (n_perm, n_shingles) universal hashes, min over shingles
-            hv = (a[:, None] * sh[None, :] + b[:, None]) % _MH_P
-            out.append(hv.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+    def perm(j: int):
+        _a, _b = int(a[j]), int(b[j])
+        return lambda x: (F.lit(_a) * x + F.lit(_b)) % F.lit(MH_P)
 
-    return mh
+    return F.array(*[F.array_min(F.transform(xs, perm(j))) for j in range(n_perm)])
 
 
 def minhash_near_dupes(
@@ -154,7 +210,8 @@ def minhash_near_dupes(
     """
     rows_per_band = n_perm // bands
     sig = df.select(
-        F.col(id_col).alias("_id"), minhash_udf(n_perm, shingle_k)(F.col(text_col)).alias("_sig")
+        F.col(id_col).alias("_id"),
+        minhash_sig_col(F.col(text_col), n_perm, shingle_k).alias("_sig"),
     ).cache()
     band_rows = sig.select(
         "_id",
@@ -203,41 +260,54 @@ def minhash_near_dupes(
 
 
 # --------------------------------------------------------------------------
-# SimHash (64-bit) over tokens
+# SimHash (60-bit) over tokens — pure Column expression
 # --------------------------------------------------------------------------
-def simhash_udf():
-    @F.pandas_udf(T.LongType())
-    def sh(text: pd.Series) -> pd.Series:
-        out = np.empty(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            toks = (t or "").split()
-            if not toks:
-                out[i] = 0
-                continue
-            hv = np.empty(len(toks), dtype=np.uint64)
-            for j, tok in enumerate(toks):
-                hv[j] = np.frombuffer(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), np.uint64
-                )[0]
-            bits = (hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-            votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
-            val = np.uint64(0)
-            for bit in range(64):
-                if votes[bit] > 0:
-                    val |= np.uint64(1) << np.uint64(bit)
-            out[i] = val.view(np.int64) if isinstance(val, np.uint64) else int(val)
-        return pd.Series(out)
+SIMHASH_BITS = 60
 
-    return sh
+
+def simhash_col(text: Column, n_bits: int = SIMHASH_BITS) -> Column:
+    """SimHash signature as a pure Column expression — no Python.
+
+    Per-token hash = the hex string md5(tok) || md5(tok || '#') (64 nibbles);
+    bit b of the token = whether nibble b's top bit is set (hex char >= '8').
+    Bit b of the signature = majority vote over tokens. 60 bits keeps every
+    (1 << b) term inside a signed long AND the whole computation expressible
+    in the DuckDB oracle (md5 + string indexing). Empty/blank text -> 0.
+    """
+    if not 1 <= n_bits <= 60:
+        raise ValueError("n_bits must be in [1, 60]")
+    trimmed = F.trim(text)
+    toks = F.split(trimmed, r"\s+")
+    hs = F.transform(toks, lambda t: F.concat(F.md5(t), F.md5(F.concat(t, F.lit("#")))))
+    n = F.size(hs)
+    # ones[b]: one aggregate pass per bit over the token-hash array; each
+    # term is a 1-char substring compare — all inside whole-stage codegen
+    def vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.substring(h, b + 1, 1) >= F.lit("8"), 1
+        ).otherwise(0)
+
+    terms = []
+    for b in range(n_bits):
+        ones = F.aggregate(hs, F.lit(0), vote(b))
+        terms.append(
+            F.when(ones * 2 > n, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    sig = terms[0]
+    for t in terms[1:]:
+        sig = sig + t
+    return F.when(trimmed == "", F.lit(0).cast("long")).otherwise(sig)
 
 
 def simhash_near_dupes(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 6
 ) -> DataFrame:
-    """SimHash near-dup pairs: signature in Arrow UDF, then the same
-    band-join + JVM bit_count verification as phash."""
-    sigs = df.select(F.col(id_col).alias(id_col), simhash_udf()(F.col(text_col)).alias("phash"))
-    return phash_near_dupes(sigs, "phash", id_col, max_hamming)
+    """SimHash near-dup pairs: JVM signature, then the same pigeonhole-exact
+    band-join + JVM bit_count verification as phash (60-bit signatures)."""
+    sigs = df.select(
+        F.col(id_col).alias(id_col), simhash_col(F.col(text_col)).alias("phash")
+    )
+    return phash_near_dupes(sigs, "phash", id_col, max_hamming, sig_bits=SIMHASH_BITS)
 
 
 # --------------------------------------------------------------------------
@@ -249,7 +319,7 @@ def embedding_near_dupes(
     id_col: str = "vec_id",
     min_cosine: float = 0.95,
     n_bits: int = 12,
-    band_hamming: int = 1,
+    band_hamming: int = 2,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
@@ -257,6 +327,12 @@ def embedding_near_dupes(
     similarity.cosine_topk_lsh): pairs whose signatures differ in
     <= band_hamming bits are scored exactly; never all-pairs. Output
     (id_a, id_b, cosine) canonicalized a < b.
+
+    Probe radius: at min_cosine 0.9 the expected signature distance between
+    a true pair is n_bits * acos(0.9)/pi ~ 1.7 bits (12 bits), so radius 1
+    under-recalls; the default radius-2 multiprobe (fan-out
+    1 + n_bits + C(n_bits,2) = 79 for 12 bits) covers ~2x the expected
+    distance while staying a pure equi-join.
     """
     import pandas as pd
 
@@ -275,13 +351,19 @@ def embedding_near_dupes(
     # multiprobe equi-join (scales, unlike a non-equi self-join): the LEFT
     # side emits its signature plus every <=band_hamming-bit-flip variant;
     # an exact match on the RIGHT's plain signature covers all pairs within
-    # that Hamming radius. Fan-out = 1 + n_bits (for radius 1).
-    if band_hamming > 1:
-        raise NotImplementedError("multiprobe implemented for band_hamming <= 1")
+    # that Hamming radius. Fan-out = 1 + n_bits + C(n_bits, 2) for radius 2.
+    if band_hamming > 2:
+        raise NotImplementedError("multiprobe implemented for band_hamming <= 2")
     probes = [F.col("_sig")]
     if band_hamming >= 1:
         probes += [
             F.col("_sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)
+        ]
+    if band_hamming >= 2:
+        probes += [
+            F.col("_sig").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
         ]
     a = with_sig.select(
         "_id", "_v", F.explode(F.array(*probes)).alias("_probe")

@@ -29,19 +29,22 @@ from .cover import build_cover
 from .grids import Grid
 from .operators.assign import assign_admin
 from .operators.dedup import (
+    SIMHASH_BITS,
+    _mh_params,
     exact_dedup_stats,
     minhash_near_dupes,
     phash_near_dupes,
     simhash_near_dupes,
 )
 from .operators.similarity import cosine_topk, cosine_topk_lsh
-from .operators.text import doc_stats, quality_score_col, token_count_col
+from .operators.text import STOPWORDS, doc_stats, quality_score_col, token_count_col
 from .operators.timeagg import week_start_col
 from .operators.zonal import zonal_stats
 from .synth import (
     ADMIN_ID_SQL,
     POINTS_FROM_EVENTS_SQL,
     admins_df,
+    images_parquet,
     images_table,
 )
 
@@ -180,11 +183,22 @@ ORDER BY n DESC, cell_id ASC LIMIT 10
 """
 
 
+N_IMAGES = 5000
+
+
+def _images(spark: SparkSession) -> DataFrame:
+    """Scan the once-materialized deterministic images fixture — the query
+    measures scan+assign, not synthesis (the at-scale generation path is
+    synth.images_table; here the fact table already exists, as it would in
+    production)."""
+    return spark.read.parquet(images_parquet(N_IMAGES))
+
+
 def q_images_admin_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full input_hint fact-table path: synthesize geocoded image records,
-    assign via the engine, count + distinct-phash per admin."""
+    """Full input_hint fact-table path: scan geocoded image records,
+    assign via the engine, count per admin."""
     cover, wkb, _ = _engine(spark)
-    imgs = images_table(spark, 5000)
+    imgs = _images(spark)
     assigned = assign_admin(imgs.select("image_id", "phash", "lat", "lon"), cover, wkb, QUERY_GRID)
     return assigned.groupBy("admin_id").agg(F.count("*").alias("n_images"))
 
@@ -601,7 +615,7 @@ def q_images_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify stored phash against decoded pixels, aggregate per fmt."""
     from .operators.multimodal import decode_stats
 
-    imgs = images_table(spark, 2000)
+    imgs = _images(spark).filter(F.col("image_id") < f"img{2000:012d}")
     return (
         decode_stats(imgs)
         .groupBy("fmt")
@@ -668,6 +682,36 @@ def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_lang_id_counts() -> str:
+    """DuckDB restatement of lang_id_udf: per-doc stopword-hit scores per
+    language, argmax with first-max tie-break over the sorted language
+    list, 'und' when nothing matches."""
+    langs = sorted(STOPWORDS)
+    score_sel = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        score_sel.append(
+            f"len(list_filter(toks, x -> list_contains([{words}], x))) AS s_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {best} = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+WITH t AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+),
+s AS (
+  SELECT {", ".join(score_sel)} FROM t
+)
+SELECT {case} AS pred_lang, count(*) AS n
+FROM s GROUP BY 1
+"""
+
+
+SQL_LANG_ID_COUNTS = _sql_lang_id_counts()
+
+
 
 def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection. The driver testdata has no true
@@ -689,20 +733,122 @@ FROM embeddings WHERE vec_id < 20
 """
 
 
+_MH_N_PERM, _MH_BANDS, _MH_K, _MH_MINJ = 64, 16, 3, 0.2
+
+
 def q_minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
-    out = minhash_near_dupes(docs, "text", "doc_id", min_jaccard=0.2)
+    out = minhash_near_dupes(
+        docs, "text", "doc_id",
+        n_perm=_MH_N_PERM, bands=_MH_BANDS, shingle_k=_MH_K, min_jaccard=_MH_MINJ,
+    )
     return out.select("id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"))
+
+
+def _sql_minhash_near_dupes() -> str:
+    """DuckDB restatement: identical md5-based shingle keys and universal
+    hashes mod 2^31-1 (same a_j/b_j literals), LSH candidates = exact
+    equality of at least one signature band (the Spark side equi-joins on a
+    murmur3 band hash — a superset only via ~2^-32 hash collisions)."""
+    n_perm, bands, k, minj = _MH_N_PERM, _MH_BANDS, _MH_K, _MH_MINJ
+    a, b = _mh_params(n_perm)
+    perms = ",\n         ".join(
+        f"list_min([({int(a[j])} * x + {int(b[j])}) % 2147483647 FOR x IN xs])"
+        for j in range(n_perm)
+    )
+    rpb = n_perm // bands
+    band_conds = "\n    OR ".join(
+        f"a.sig[{i * rpb + 1}:{(i + 1) * rpb}] = b.sig[{i * rpb + 1}:{(i + 1) * rpb}]"
+        for i in range(bands)
+    )
+    agree = (
+        f"list_sum([CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END "
+        f"FOR i IN range(1, {n_perm + 1})]) / {n_perm}.0"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < {k} THEN [array_to_string(toks, ' ')]
+              ELSE [array_to_string(toks[i:i+{k - 1}], ' ')
+                    FOR i IN range(1, len(toks) - {k - 2})]
+         END AS grams
+  FROM t
+),
+x AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 FOR g IN grams] AS xs
+  FROM g
+),
+s AS (
+  SELECT doc_id, [{perms}] AS sig FROM x
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, round({agree}, 6) AS jaccard_est
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE ({band_conds})
+  AND {agree} >= {minj}
+"""
+
+
+SQL_MINHASH_NEAR_DUPES = _sql_minhash_near_dupes()
+
+
+_SH_MAX_HAMMING = 6
 
 
 def q_simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
-    return simhash_near_dupes(docs, "text", "doc_id", max_hamming=12)
+    out = simhash_near_dupes(docs, "text", "doc_id", max_hamming=_SH_MAX_HAMMING)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _sql_simhash_near_dupes() -> str:
+    """DuckDB restatement of simhash_col + pair search. The oracle is
+    brute-force all-pairs (exact); the Spark side's pigeonhole banding
+    (n_bands = h+1) is guaranteed-exact, so the two must agree."""
+    return f"""
+WITH ms AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE [md5(t) || md5(t || '#')
+                    FOR t IN string_split_regex(trim(text), '\\s+')] END AS hs
+  FROM documents
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(coalesce(list_sum(
+            [CASE WHEN 2 * len(list_filter(hs, h -> h[b + 1] >= '8')) > len(hs)
+                  THEN (1::BIGINT << b) ELSE 0::BIGINT END
+             FOR b IN range(0, {SIMHASH_BITS})]), 0) AS BIGINT) AS sig
+  FROM ms
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {_SH_MAX_HAMMING}
+"""
+
+
+SQL_SIMHASH_NEAR_DUPES = _sql_simhash_near_dupes()
 
 
 def q_phash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    imgs = images_table(spark, 3000)
-    return phash_near_dupes(imgs, "phash", "image_id", max_hamming=0)
+    """Exact-phash duplicate pairs over the materialized images fixture;
+    max_hamming=0 -> a single full-width band (plain equality equi-join)."""
+    imgs = _images(spark)
+    out = phash_near_dupes(imgs, "phash", "image_id", max_hamming=0)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+SQL_PHASH_DEDUP_PAIRS = f"""
+WITH imgs AS (SELECT image_id, phash FROM read_parquet('{{images_path}}'))
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 0
+"""
 
 
 def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -770,8 +916,14 @@ def oracle_sql() -> dict[str, str]:
         "top3_per_admin": SQL_TOP3_PER_ADMIN,
         "knn_admin_centroids": SQL_KNN_ADMIN_CENTROIDS,
         "embedding_near_dupes": SQL_EMBEDDING_NEAR_DUPES,
-        # LSH/phash families, image decode, raster/resample paths:
-        # rows-only here (driver's weaker check); pytest carries their
-        # exact NumPy oracles (tests/test_zonal_raster.py,
-        # tests/test_resample.py, tests/test_images.py, tests/test_dedup.py)
+        "minhash_near_dupes": SQL_MINHASH_NEAR_DUPES,
+        "simhash_near_dupes": SQL_SIMHASH_NEAR_DUPES,
+        # brute-force all-pairs oracle over the SAME materialized fixture
+        # file the Spark query scans (ensured to exist here)
+        "phash_dedup_pairs": SQL_PHASH_DEDUP_PAIRS.format(
+            images_path=images_parquet(N_IMAGES)
+        ),
+        "lang_id_counts": SQL_LANG_ID_COUNTS,
+        # image decode path: rows-only (binary codecs aren't SQL);
+        # pytest carries its exact oracle (tests/test_images.py)
     }

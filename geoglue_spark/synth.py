@@ -195,6 +195,57 @@ def images_table(spark: SparkSession, n: int, partitions: int | None = None) -> 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, IMAGES_SCHEMA)
 
 
+def images_pandas(n: int) -> pd.DataFrame:
+    """Driver-local generation of the SAME images table (identical bytes to
+    images_table) — used to materialize the fixture parquet once so
+    benchmarks measure scan+assign, not synthesis, and so the DuckDB oracle
+    can read the very same rows."""
+    ids = np.arange(n, dtype=np.int64)
+    content = np.where(ids % DUP_EVERY == 0, np.maximum(ids - 1, 0), ids)
+    recs = []
+    for i, ci in zip(ids, content):
+        w = _DIMS[int(ci) % 3]
+        h = _DIMS[int(ci + 1) % 3]
+        fmt = _FMTS[int(ci) % 3]
+        pix = synth_pixels(int(ci), w, h, color=(ci % 2 == 0))
+        recs.append(
+            (
+                f"img{i:012d}",
+                encode_image(pix, fmt),
+                w,
+                h,
+                fmt,
+                f"caption for image {ci:012d} over tile ({ci % 64},{ci // 64 % 64})",
+                phash64(pix),
+            )
+        )
+    out = pd.DataFrame(
+        recs, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    )
+    out["lat"] = _point_lat(ids)
+    out["lon"] = _point_lon(ids)
+    # microsecond unit: Spark's parquet reader rejects TIMESTAMP(NANOS)
+    out["ts"] = (
+        pd.Timestamp(_T0) + pd.to_timedelta(ids % _N_HOURS, unit="h")
+    ).astype("datetime64[us]")
+    return out
+
+
+def images_parquet(n: int, root: str = "/root/repo/.cache") -> str:
+    """Materialize the deterministic images fixture to parquet ONCE (atomic
+    rename; concurrent callers race benignly) and return the file path.
+    Both the Spark queries and the DuckDB oracle scan this same file."""
+    import os
+
+    path = os.path.join(root, f"images_{n}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(root, exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        images_pandas(n).to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path
+
+
 # ---- hourly raster (ERA5 analog), long form -------------------------------
 def grid_pixels_table(
     spark: SparkSession,

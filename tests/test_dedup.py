@@ -87,6 +87,54 @@ def test_embedding_near_dupes(spark):
     assert all(a in (0, 5) or b in (20, 21) for a, b in got)
 
 
+def test_embedding_near_dupes_nonexact_cosine(spark):
+    """Radius-2 multiprobe must recover a true 0.92-cosine pair at
+    min_cosine=0.9 (radius-1 under-recalled: expected signature distance at
+    cos 0.9 is ~1.7 bits for 12-bit signatures)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    found = 0
+    n_trials = 8
+    for trial in range(n_trials):
+        base = rng.standard_normal((30, 16))
+        v = base[0] / np.linalg.norm(base[0])
+        o = rng.standard_normal(16)
+        o -= (o @ v) * v
+        o /= np.linalg.norm(o)
+        tgt = 0.92 * v + np.sqrt(1 - 0.92**2) * o  # exact cosine 0.92 with v
+        vecs = list(base) + [tgt * 3.0]
+        rows = [(i, [float(x) for x in w]) for i, w in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = D.embedding_near_dupes(df, min_cosine=0.9).toPandas()
+        if (0, 30) in set(map(tuple, pairs[["id_a", "id_b"]].values)):
+            found += 1
+    assert found >= 6, f"recall too low: {found}/{n_trials}"
+
+
+def test_phash_banding_recovers_mid_hamming_pairs(spark):
+    """Pigeonhole banding (n_bands = h+1) must find EVERY pair within
+    max_hamming — including distances > sig_bits/4 that the old fixed
+    4-band layout missed."""
+    def as_i64(x: int) -> int:
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    base = 0x123456789ABCDEF0
+    flipped5 = base ^ ((1 << 3) | (1 << 17) | (1 << 31) | (1 << 45) | (1 << 59))
+    flipped8 = as_i64(base ^ sum(1 << b for b in (1, 9, 18, 27, 36, 45, 54, 63)))
+    df = spark.createDataFrame(
+        [(0, base), (1, flipped5), (2, flipped8)],
+        "image_id long, phash long",
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.phash_near_dupes(df, "phash", "image_id", max_hamming=8).collect()
+    }
+    assert got[(0, 1)] == 5 and got[(0, 2)] == 8
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.phash_near_dupes(df, "phash", "image_id", max_hamming=8, n_bands=4)
+
+
 def test_dedup_determinism_across_partitionings(spark, docs):
     a = D.minhash_near_dupes(docs.repartition(1), "text", "doc_id", min_jaccard=0.2)
     b = D.minhash_near_dupes(docs.repartition(7), "text", "doc_id", min_jaccard=0.2)
