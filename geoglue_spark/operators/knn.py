@@ -13,10 +13,12 @@ by candidates in rings <= r+1 (cell geometry bounds), so searching up to
 exactness; callers size max_ring from centroid density (for GADM-2-like
 ~1-degree units on a 0.05-degree grid, max_ring=40 spans 2 degrees).
 
-At scale this is a broadcast join on (cell_id) after an explode whose
-fan-out is bounded by (2*max_ring+1)^2 — but rows stop expanding early via
-the ring-by-ring iteration in :func:`knn_join` (most points resolve in the
-first ring batch).
+At scale each stage is a broadcast-HASH-equi-join: centroids bucket into
+r-cell super-cells and each point explodes to its 3x3 neighbouring bucket
+keys — fan-out exactly 9 per point per stage regardless of ring radius or
+centroid count (NOT a (2r+1)^2 cell explosion, and NOT a nested-loop box
+predicate). Rows stop expanding early via the ring-by-ring iteration in
+:func:`knn_join` (most points resolve in the first ring batch).
 """
 
 from __future__ import annotations
@@ -66,6 +68,17 @@ def admin_centroids(admins: DataFrame, geometry_col: str = "geometry") -> DataFr
     )
 
 
+_BKEY_SHIFT = 1 << 21  # bucket key = bx * 2^21 + by (|by| << 2^20 always)
+
+
+def _bucket_key(ix_col, iy_col, r: int):
+    """Coarse bucket id at bucket size r cells (floor division, negative-
+    safe via double floor — indices are tiny relative to 2^52)."""
+    bx = F.floor(ix_col.cast("double") / F.lit(float(r))).cast("long")
+    by = F.floor(iy_col.cast("double") / F.lit(float(r))).cast("long")
+    return bx * F.lit(_BKEY_SHIFT) + by
+
+
 def knn_join(
     points: DataFrame,
     centroids: DataFrame,
@@ -75,20 +88,41 @@ def knn_join(
     lat_col: str = "lat",
     id_cols: list[str] | None = None,
     ring_batches: tuple[int, ...] = (2, 8, 40),
+    assume_small: bool | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """k nearest centroids per point via staged cell-ring expansion.
 
     ``ring_batches`` are cumulative ring radii tried in order: points whose
     k-th neighbour is safely inside radius r stop there (anti-join), the
-    rest escalate. Each stage is: explode neighbour cells -> broadcast
-    equi-join on cell -> window top-k. Deterministic ordering
-    (dist, admin_id).
+    rest escalate. Each stage is a pure BROADCAST-HASH-EQUI-JOIN: centroids
+    bucket into r-cell super-cells, each point explodes to its 3x3
+    neighbouring bucket keys (fan-out 9, independent of centroid count) and
+    equi-joins on the key; the exact Chebyshev box filter then prunes the
+    corners. Per-point work is O(centroids within ~3r cells), not
+    O(all centroids) — the property that matters at GADM-world scale
+    (~47k admin-2 centroids).
+
+    ``assume_small``: True collapses the staged escalation to one pass at
+    the largest ring (saves a window+anti-join per stage — right when most
+    points' rings overlap most buckets anyway); False forces staging; None
+    (default) decides by an eager ``centroids.count()`` — NOTE this runs a
+    small Spark job at plan-construction time; pass a bool to avoid it.
+
+    Return contract: a candidate found in ring r can only be beaten by ones
+    in rings <= r+1, so non-final stages only emit rows proven exact by the
+    geodetic lower bound. The FINAL stage emits its top-k as-is: points
+    whose true k-th neighbour lies beyond ``max(ring_batches)`` cells get
+    silently truncated/approximate rows — size max_ring from centroid
+    density, or pass ``strict=True`` to raise instead (costs one extra
+    aggregation on the final stage).
     """
     id_cols = id_cols or [c for c in points.columns if c not in (lon_col, lat_col)]
-    # small centroid sets: one box-join + one window beats staged escalation
-    # (each stage adds a window shuffle + an anti-join); the staged path is
-    # for centroid tables big enough that most points settle in ring 2
-    if len(ring_batches) > 1 and centroids.count() <= 10_000:
+    # small centroid sets: one bucket-join + one window beats staged
+    # escalation (each stage adds a window shuffle + an anti-join)
+    if assume_small is None:
+        assume_small = centroids.count() <= 10_000
+    if len(ring_batches) > 1 and assume_small:
         ring_batches = (ring_batches[-1],)
     cent_cells = centroids.select(
         "admin_id",
@@ -97,7 +131,6 @@ def knn_join(
         grid.ix_col(F.col("clon")).alias("cx"),
         grid.iy_col(F.col("clat")).alias("cy"),
     )
-    cent_b = F.broadcast(cent_cells)
 
     pts = points.select(
         *id_cols,
@@ -111,13 +144,34 @@ def knn_join(
     out: DataFrame | None = None
     remaining = pts
     for stage, r in enumerate(ring_batches):
-        cand = remaining.join(
-            cent_b,
-            (F.col("cx") >= F.col("px") - r) & (F.col("cx") <= F.col("px") + r)
-            & (F.col("cy") >= F.col("py") - r) & (F.col("cy") <= F.col("py") + r),
-        ).withColumn(
-            "dist_km",
-            haversine_km_col(F.col("_plon"), F.col("_plat"), F.col("clon"), F.col("clat")),
+        cent_b = F.broadcast(
+            cent_cells.withColumn(
+                "_bkey", _bucket_key(F.col("cx"), F.col("cy"), r)
+            )
+        )
+        pbx = F.floor(F.col("px").cast("double") / F.lit(float(r))).cast("long")
+        pby = F.floor(F.col("py").cast("double") / F.lit(float(r))).cast("long")
+        probe_keys = F.array(
+            *[
+                (pbx + F.lit(i)) * F.lit(_BKEY_SHIFT) + (pby + F.lit(j))
+                for i in (-1, 0, 1)
+                for j in (-1, 0, 1)
+            ]
+        )
+        cand = (
+            remaining.withColumn("_probe", F.explode(probe_keys))
+            .join(cent_b, F.col("_probe") == F.col("_bkey"))
+            .filter(
+                (F.abs(F.col("cx") - F.col("px")) <= r)
+                & (F.abs(F.col("cy") - F.col("py")) <= r)
+            )
+            .drop("_probe", "_bkey")
+            .withColumn(
+                "dist_km",
+                haversine_km_col(
+                    F.col("_plon"), F.col("_plat"), F.col("clon"), F.col("clat")
+                ),
+            )
         )
         w = Window.partitionBy(*id_cols).orderBy(F.col("dist_km"), F.col("admin_id"))
         whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -130,6 +184,37 @@ def knn_join(
         is_last = stage == len(ring_batches) - 1
         if is_last:
             settled = topk
+            if strict:
+                # exactness proof for the final ring too: raise if ANY point
+                # is unproven — k-th kept distance not strictly inside the
+                # geodetic lower bound of the unsearched region, fewer than
+                # k candidates, or NO candidates at all. Eager.
+                worst_cos_l = F.cos(
+                    F.radians(F.abs(F.col("_plat")) + F.lit(float(r * grid.dy)))
+                )
+                lb_l = (
+                    F.lit(float(max(r - 1, 0)))
+                    * F.lit(deg_km)
+                    * F.least(F.lit(float(grid.dy)), F.lit(float(grid.dx)) * worst_cos_l)
+                )
+                proven = (
+                    topk.filter((F.col("_n") >= k) & (F.col("_kth_dist") < lb_l))
+                    .select(*id_cols)
+                    .distinct()
+                )
+                n_bad = (
+                    remaining.select(*id_cols)
+                    .distinct()
+                    .join(proven, id_cols, "left_anti")
+                    .limit(1)
+                    .count()
+                )
+                if n_bad:
+                    raise ValueError(
+                        f"knn_join(strict=True): some points' k-th neighbour is "
+                        f"not provably inside max_ring={r} cells; enlarge "
+                        "ring_batches or densify centroids"
+                    )
         else:
             # geodetic lower bound for any centroid OUTSIDE the searched
             # box: it is at least (r-1) cells away in Chebyshev terms; a

@@ -22,11 +22,10 @@ FLAGS = {
 }
 
 # Intentional broadcast nested-loop joins against tiny broadcast sides:
-# the join predicate is inherently non-equi (Hamming distance / box range)
-# and the broadcast relation is O(100) rows, so BNLJ IS the right plan.
+# the join predicate is inherently non-equi (Hamming distance) and the
+# broadcast relation is O(n_queries) rows, so BNLJ IS the right plan.
 ALLOW = {
     "ann_cosine_topk_lsh": {"BroadcastNestedLoopJoin"},
-    "knn_admin_centroids": {"BroadcastNestedLoopJoin"},
 }
 
 

@@ -64,6 +64,55 @@ def test_knn_deterministic_across_partitionings(spark, cents):
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
 
 
+def test_knn_world_scale_centroids_equi_join_plan(spark):
+    """GADM-2-world-sized centroid table (~47k): the staged bucket join must
+    be a BroadcastHashJoin (never a nested-loop box predicate) and still
+    match brute force on a sample of points."""
+    m = 216  # 216 x 216 = 46,656 centroids over the 10x10-degree domain
+    ci = np.arange(m * m)
+    clon = 100.0 + (ci % m + 0.5) * (10.0 / m)
+    clat = 10.0 + (ci // m + 0.5) * (10.0 / m)
+    cents = spark.createDataFrame(
+        pd.DataFrame({"admin_id": [f"C{j:06d}" for j in ci], "clon": clon, "clat": clat})
+    )
+    n = 40
+    i = np.arange(n)
+    lon = 100.0 + (i * 7919 % 9973) / 9973.0 * 10.0
+    lat = 10.0 + (i * 6007 % 9973) / 9973.0 * 10.0
+    pts = spark.createDataFrame(pd.DataFrame({"pid": i, "lon": lon, "lat": lat}))
+    df = knn_join(pts, cents, GRID, k=3, id_cols=["pid"], assume_small=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = df.toPandas()
+    assert len(got) == n * 3
+    for pid in range(0, n, 7):
+        d = _haversine_np(lon[pid], lat[pid], clon, clat)
+        order = np.lexsort((np.array([f"C{j:06d}" for j in ci]), d))[:3]
+        want = [f"C{j:06d}" for j in ci[order]]
+        g = got[got.pid == pid].sort_values("rk").admin_id.tolist()
+        assert g == want, f"pid={pid}: got {g} want {want}"
+
+
+def test_knn_strict_raises_on_undersized_ring(spark, cents):
+    """strict=True must refuse silently-truncated results when max_ring
+    cannot prove exactness (1-degree centroid spacing, 2-cell ring)."""
+    pts = spark.createDataFrame(pd.DataFrame({"pid": [0], "lon": [105.0], "lat": [15.0]}))
+    with pytest.raises(ValueError, match="strict"):
+        knn_join(pts, cents, GRID, k=3, id_cols=["pid"], ring_batches=(2,), strict=True)
+
+
+def test_knn_strict_passes_when_ring_covers(spark, cents):
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [0, 1], "lon": [105.02, 103.4], "lat": [15.03, 12.6]})
+    )
+    got = knn_join(
+        pts, cents, GRID, k=1, id_cols=["pid"], ring_batches=(60,), strict=True
+    ).toPandas()
+    assert set(got.admin_id) == {"ADM2-55", "ADM2-23"}
+
+
 def test_haversine_column(spark):
     df = spark.createDataFrame([(0.0, 0.0, 0.0, 1.0)], "a double, b double, c double, d double")
     km = df.select(
