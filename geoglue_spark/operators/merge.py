@@ -34,6 +34,21 @@ def crop(
     )
 
 
+def normalize_lon_col(lon) -> "F.Column":
+    """P6: longitude to [-180, 180) — ``(lon + 180) mod 360 - 180`` with
+    pmod so negative inputs land in range too (reference util.py:165-172
+    applies this to 0..360 ERA5 longitudes). Idempotent for in-range
+    values; pure Column arithmetic, codegen'd."""
+    return F.pmod(lon + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)
+
+
+def normalize_longitudes(df: DataFrame, lon_col: str = "lon") -> DataFrame:
+    """P6 as a DataFrame op. The reference also re-sorts coordinates after
+    normalizing; long-form Spark tables carry no storage order — index math
+    (Grid) and the y_descending flag (O1) replace the sort."""
+    return df.withColumn(lon_col, normalize_lon_col(F.col(lon_col)))
+
+
 def concat_time(frames: list[DataFrame]) -> DataFrame:
     """O2: union along time; schema-aligned by name."""
     return reduce(lambda a, b: a.unionByName(b), frames)

@@ -200,14 +200,42 @@ def year_bounds_check(df: DataFrame, year: int, time_col: str = "local_time") ->
         )
 
 
+def is_end_of_month_col(date_col: Column) -> Column:
+    """P10: the date is its month's last day (reference cds.py:49-50)."""
+    return F.last_day(date_col) == date_col
+
+
 def monthly_split(
-    df: DataFrame, time_col: str = "time"
+    df: DataFrame, time_col: str = "time", with_completeness: bool = True
 ) -> DataFrame:
-    """Tag rows with year/month partitions + completeness flag (A5/I3):
-    a month is complete when its max date is its last day
-    (reference cds.py:204-234, is_end_of_month cds.py:49-50)."""
-    return df.withColumn("year", F.year(time_col)).withColumn(
+    """Tag rows with year/month partitions + a ``month_complete`` flag
+    (A5/I3): a month is complete when its max observed date is the month's
+    last day (reference cds.py:204-234, is_end_of_month cds.py:49-50).
+
+    The flag costs one window shuffle over (year, month); pass
+    ``with_completeness=False`` for the tag-only fast path.
+    """
+    out = df.withColumn("year", F.year(time_col)).withColumn(
         "month", F.month(time_col)
+    )
+    if not with_completeness:
+        return out
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("year", "month")
+    return out.withColumn(
+        "month_complete",
+        is_end_of_month_col(F.max(F.to_date(time_col)).over(w)),
+    )
+
+
+def month_completeness(df: DataFrame, time_col: str = "time") -> DataFrame:
+    """Per-month completeness summary (year, month, last_date, complete) —
+    the metadata-scale pre-commit check of I3 (reference cds.py:204-234)."""
+    return (
+        df.groupBy(F.year(time_col).alias("year"), F.month(time_col).alias("month"))
+        .agg(F.max(F.to_date(time_col)).alias("last_date"))
+        .withColumn("complete", is_end_of_month_col(F.col("last_date")))
     )
 
 

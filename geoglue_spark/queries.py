@@ -499,6 +499,37 @@ GROUP BY 1
 """
 
 
+def q_lon_normalize_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: push a third of the points into 0..360-style longitudes (+360),
+    normalize back to [-180, 180), histogram per integer band — verifies
+    wraparound AND idempotence against plain SQL arithmetic."""
+    from .operators.merge import normalize_longitudes
+
+    pts = _points(spark, sf_dir).withColumn(
+        "lon",
+        F.when(F.col("event_id") % 3 == 0, F.col("lon") + 360.0).otherwise(
+            F.col("lon")
+        ),
+    )
+    norm = normalize_longitudes(pts)
+    return norm.groupBy(F.floor("lon").alias("lon_band")).agg(
+        F.count("*").alias("n"), F.round(F.avg("lon"), 6).alias("mean_lon")
+    )
+
+
+SQL_LON_NORMALIZE_HIST = f"""
+{_POINTS_CTE},
+shifted AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN lon + 360.0 ELSE lon END AS lon
+  FROM points
+)
+SELECT CAST(floor(((lon + 180.0) % 360.0) - 180.0) AS BIGINT) AS lon_band,
+       count(*) AS n,
+       round(avg(((lon + 180.0) % 360.0) - 180.0), 6) AS mean_lon
+FROM shifted GROUP BY 1
+"""
+
+
 def q_validate_per_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.validate import per_slice_stats
 
@@ -882,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dupes": q_simhash_near_dupes,
         "phash_dedup_pairs": q_phash_dedup_pairs,
         "embedding_near_dupes": q_embedding_near_dupes,
+        "lon_normalize_hist": q_lon_normalize_hist,
         "crop_bbox_count": q_crop_bbox_count,
         "validate_per_slice": q_validate_per_slice,
         "durations_matrix": q_durations_matrix,
@@ -910,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_stats": SQL_DOC_DEDUP_STATS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+        "lon_normalize_hist": SQL_LON_NORMALIZE_HIST,
         "crop_bbox_count": SQL_CROP_BBOX_COUNT,
         "validate_per_slice": SQL_VALIDATE_PER_SLICE,
         "durations_matrix": SQL_DURATIONS_MATRIX,

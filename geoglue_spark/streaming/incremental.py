@@ -21,6 +21,7 @@ current month) is ALWAYS reprocessed and its manifest row replaced.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import time
@@ -87,12 +88,19 @@ def run_incremental(
     partition_col: str = "part",
     open_partitions: set[str] | None = None,
     lineage: str = "",
+    require_complete_months: str | None = None,
 ) -> list[str]:
     """Process only uncommitted partitions; open ones always reprocess.
 
     Each partition is written with dynamic partition overwrite — re-running
     after a mid-job failure replaces half-written output instead of
     duplicating it (idempotent resume). Returns partitions processed.
+
+    ``require_complete_months`` (I3, reference cds.py:204-234): name of a
+    time column; each CLOSED month partition is then verified complete (max
+    observed date == last day of its month) BEFORE the write — an
+    incomplete closed month refuses to commit. Open partitions are exempt
+    (the trailing partial month is expected incomplete, cds.py:591-610).
     """
     open_partitions = open_partitions or set()
     done = manifest.committed(spark) - open_partitions
@@ -101,6 +109,15 @@ def run_incremental(
     for p in todo:
         t0 = time.time()
         df = process(p).withColumn(partition_col, F.lit(p))
+        if require_complete_months is not None and p not in open_partitions:
+            last = df.agg(
+                F.max(F.to_date(require_complete_months)).alias("mx")
+            ).collect()[0].mx
+            if last is None or (last + datetime.timedelta(days=1)).day != 1:
+                raise ValueError(
+                    f"partition {p!r}: closed month incomplete "
+                    f"(max date {last}); refusing to commit"
+                )
         df.write.mode("overwrite").partitionBy(partition_col).parquet(out_path)
         rows = spark.read.parquet(out_path).filter(F.col(partition_col) == p).count()
         manifest.record(spark, p, rows, time.time() - t0, lineage)

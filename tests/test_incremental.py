@@ -91,3 +91,34 @@ def test_streaming_daily_counts(spark, tmp_path):
     assert len(merged) == len(got)  # every emitted window exists in batch
     assert (merged.n_s == merged.n_b).all()
     assert (abs(merged.sum_value_s - merged.sum_value_b) < 1e-6).all()
+
+
+def test_incomplete_closed_month_refuses_commit(spark, tmp_path):
+    """I3: a closed month whose max date is not its last day must refuse to
+    commit; the open trailing month is exempt (reference cds.py:204-234)."""
+    import datetime as dt
+
+    from geoglue_spark.streaming.incremental import CheckpointManifest, run_incremental
+
+    def process(part):
+        y, m = map(int, part.split("-"))
+        days = 31 if part == "2019-01" else 10  # February truncated
+        rows = [(dt.datetime(y, m, d, 0), float(d)) for d in range(1, days + 1)]
+        return spark.createDataFrame(rows, "time timestamp, value double")
+
+    manifest = CheckpointManifest(str(tmp_path / "manifest"))
+    out = str(tmp_path / "out")
+    with pytest.raises(ValueError, match="incomplete"):
+        run_incremental(
+            spark, ["2019-01", "2019-02"], process, out, manifest,
+            open_partitions=set(), require_complete_months="time",
+        )
+    # January committed before the failure; February is absent
+    assert manifest.committed(spark) == {"2019-01"}
+    # the same truncated month marked OPEN commits fine
+    done = run_incremental(
+        spark, ["2019-01", "2019-02"], process, out,
+        CheckpointManifest(str(tmp_path / "manifest2")),
+        open_partitions={"2019-02"}, require_complete_months="time",
+    )
+    assert "2019-02" in done

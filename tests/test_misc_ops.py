@@ -146,3 +146,118 @@ def test_fingerprint_normalizes_whitespace(spark):
     df = spark.createDataFrame([("A  b c",), ("a b C ",)], "text string")
     fps = [r.fp for r in df.select(TX.fingerprint_col(F.col("text")).alias("fp")).collect()]
     assert fps[0] == fps[1]
+
+
+# ---- P6 longitude normalization ---------------------------------------------
+def test_normalize_longitudes(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (180.0,), (359.75,), (275.0,), (-170.0,), (100.0,)], "lon double"
+    )
+    got = [r.lon for r in M.normalize_longitudes(df).collect()]
+    assert got == [0.0, -180.0, -0.25, -85.0, -170.0, 100.0]
+    # idempotent
+    got2 = [r.lon for r in M.normalize_longitudes(M.normalize_longitudes(df)).collect()]
+    assert got2 == got
+
+
+# ---- F-family scalar functions ----------------------------------------------
+def test_get_timezone_unique_and_multi():
+    from geoglue_spark.functions import get_timezone
+
+    assert get_timezone("KHM") == "+07:00"  # Asia/Phnom_Penh, single zone
+    assert get_timezone("NPL") == "+05:45"  # non-integer offset country
+    assert get_timezone("USA") is None  # spans many zones -> None
+    assert get_timezone("BR") is None  # ISO2 accepted directly
+    with pytest.raises(KeyError):
+        get_timezone("XXX")
+
+
+def test_zero_padded_intrange():
+    from geoglue_spark.functions import zero_padded_intrange
+
+    assert zero_padded_intrange(1, 9) == [f"{i:02d}" for i in range(1, 10)]
+    assert zero_padded_intrange(1, 9, inclusive=False) == [str(i) for i in range(1, 9)]
+    assert zero_padded_intrange(8, 12) == ["08", "09", "10", "11", "12"]
+    with pytest.raises(ValueError):
+        zero_padded_intrange(5, 5)
+
+
+def test_logfmt_escape_and_line():
+    from geoglue_spark.functions import logfmt, logfmt_escape
+
+    assert logfmt_escape("ok") == "ok"
+    assert logfmt_escape("has space") == '"has space"'
+    assert logfmt_escape('weird="val"') == '"weird=\\"val\\""'
+    assert logfmt_escape(None) == '""'
+    assert logfmt_escape("back\\slash") == '"back\\\\slash"'
+    assert logfmt({"a": 1, "b": "x y"}) == 'a=1 b="x y"'
+
+
+def test_bias_corrected():
+    from geoglue_spark.functions import bias_corrected
+
+    src = {"long_name": "Total precipitation", "short_name": "tp", "units": "m"}
+    out = bias_corrected(src)
+    assert out["long_name"] == "Total precipitation (bias_corrected)"
+    assert out["short_name"] == "tp_bc"
+    assert out["units"] == "m" and src["short_name"] == "tp"  # input untouched
+
+
+# ---- P10/A5 month completeness ------------------------------------------------
+def test_monthly_split_completeness(spark):
+    from geoglue_spark.operators.timeagg import month_completeness, monthly_split
+
+    rows = (
+        [(dt.datetime(2019, 1, d, 12),) for d in range(1, 32)]  # full January
+        + [(dt.datetime(2019, 2, d, 12),) for d in range(1, 16)]  # half February
+    )
+    df = spark.createDataFrame(rows, "time timestamp")
+    tagged = monthly_split(df)
+    flags = {
+        (r.year, r.month): r.month_complete
+        for r in tagged.select("year", "month", "month_complete").distinct().collect()
+    }
+    assert flags == {(2019, 1): True, (2019, 2): False}
+    summ = {(r.year, r.month): r.complete for r in month_completeness(df).collect()}
+    assert summ == {(2019, 1): True, (2019, 2): False}
+
+
+# ---- job config / lineage round-trip -----------------------------------------
+def test_zonal_job_config_lineage_roundtrip(spark):
+    from geoglue_spark.config import ZonalJobConfig, read_job_configs
+
+    cfg = ZonalJobConfig(
+        raster="/data/era5 2019.parquet",  # space forces quoting
+        admins="/data/gadm41_KHM.parquet",
+        admins_pk="GID_2",
+        output="/out/kh_t2m.parquet",
+        operation="weighted_mean(area_spherical_km2)",
+        weights="/data/pop.parquet",
+    )
+    line = cfg.lineage()
+    assert 'raster="/data/era5 2019.parquet"' in line
+    assert ZonalJobConfig.from_lineage(line) == cfg
+    # None weights round-trips too
+    cfg2 = ZonalJobConfig("r", "a", "pk", "o", "mean")
+    assert ZonalJobConfig.from_lineage(cfg2.lineage()) == cfg2
+    assert read_job_configs(f"{cfg}\n{cfg2}\n") == [cfg, cfg2]
+    with pytest.raises(KeyError, match="missing"):
+        ZonalJobConfig.from_lineage("raster=x output=y")
+
+
+def test_config_lineage_through_concat(spark):
+    """The lineage string survives concat_with_lineage's ordered distinct
+    combination (reference merge.py:46-57 + zonalstats.py:137)."""
+    from geoglue_spark.config import ZonalJobConfig
+
+    c1 = ZonalJobConfig("r1", "a", "pk", "o1", "mean").lineage()
+    c2 = ZonalJobConfig("r2", "a", "pk", "o2", "sum").lineage()
+    f1 = spark.createDataFrame([(1.0, c1)], "v double, geoglue_config string")
+    f2 = spark.createDataFrame([(2.0, c2)], "v double, geoglue_config string")
+    out = M.concat_with_lineage([f1, f2, f1])
+    combined = out.select("geoglue_config").distinct().collect()[0][0]
+    assert combined == f"{c1}\n{c2}"
+    # each line parses back into the original config
+    from geoglue_spark.config import read_job_configs
+
+    assert [c.raster for c in read_job_configs(combined)] == ["r1", "r2"]
