@@ -193,6 +193,33 @@ def minhash_sig_col(text: Column, n_perm: int = 64, shingle_k: int = 3) -> Colum
     return F.array(*[F.array_min(F.transform(xs, perm(j))) for j in range(n_perm)])
 
 
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_perm: int = 64, shingle_k: int = 3
+) -> DataFrame:
+    """(id, _sig) via explode + 64 codegen'd min-aggregates — semantically
+    identical to :func:`minhash_sig_col` (regression-tested) but the hot
+    path avoids Catalyst higher-order functions, which evaluate their
+    lambdas INTERPRETED: shingles explode to rows once, the per-permutation
+    (a*x+b) mod p mins run inside whole-stage codegen with map-side partial
+    aggregation (shuffle = one partial row per doc per task)."""
+    a, b = _mh_params(n_perm)
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles_col(F.col(text_col), shingle_k)).alias("_g"),
+    )
+    xs = grams.select("_id", shingle_key_col(F.col("_g")).alias("_x"))
+    aggs = [
+        F.min(
+            (F.lit(int(a[j])) * F.col("_x") + F.lit(int(b[j]))) % F.lit(MH_P)
+        ).alias(f"_m{j}")
+        for j in range(n_perm)
+    ]
+    mins = xs.groupBy("_id").agg(*aggs)
+    return mins.select(
+        "_id", F.array(*[f"_m{j}" for j in range(n_perm)]).alias("_sig")
+    )
+
+
 def minhash_near_dupes(
     df: DataFrame,
     text_col: str,
@@ -209,10 +236,7 @@ def minhash_near_dupes(
     (unbiased Jaccard estimate). Shuffle volume = n_docs * bands rows.
     """
     rows_per_band = n_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_sig_col(F.col(text_col), n_perm, shingle_k).alias("_sig"),
-    ).cache()
+    sig = minhash_signatures(df, text_col, id_col, n_perm, shingle_k).cache()
     band_rows = sig.select(
         "_id",
         "_sig",
@@ -299,14 +323,51 @@ def simhash_col(text: Column, n_bits: int = SIMHASH_BITS) -> Column:
     return F.when(trimmed == "", F.lit(0).cast("long")).otherwise(sig)
 
 
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(id, phash) via explode + codegen'd vote-aggregates — identical to
+    :func:`simhash_col` (regression-tested) without the interpreted
+    higher-order aggregate: tokens explode to rows once, the 60 per-bit
+    majority votes run as sum() aggregates inside whole-stage codegen."""
+    trimmed = F.trim(F.col(text_col))
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        (trimmed == "").alias("_blank"),
+        F.explode(F.split(trimmed, r"\s+")).alias("_t"),
+    )
+    hs = toks.select(
+        "_id",
+        "_blank",
+        F.concat(F.md5("_t"), F.md5(F.concat(F.col("_t"), F.lit("#")))).alias("_h"),
+    )
+    votes = hs.groupBy("_id", "_blank").agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(
+                F.when(F.substring("_h", b + 1, 1) >= F.lit("8"), 1).otherwise(0)
+            ).alias(f"_o{b}")
+            for b in range(n_bits)
+        ],
+    )
+    sig = None
+    for b in range(n_bits):
+        term = F.when(
+            F.col(f"_o{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return votes.select(
+        F.col("_id"),
+        F.when(F.col("_blank"), F.lit(0).cast("long")).otherwise(sig).alias("phash"),
+    )
+
+
 def simhash_near_dupes(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 6
 ) -> DataFrame:
     """SimHash near-dup pairs: JVM signature, then the same pigeonhole-exact
     band-join + JVM bit_count verification as phash (60-bit signatures)."""
-    sigs = df.select(
-        F.col(id_col).alias(id_col), simhash_col(F.col(text_col)).alias("phash")
-    )
+    sigs = simhash_signatures(df, text_col, id_col).withColumnRenamed("_id", id_col)
     return phash_near_dupes(sigs, "phash", id_col, max_hamming, sig_bits=SIMHASH_BITS)
 
 

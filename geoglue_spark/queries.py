@@ -56,17 +56,31 @@ QUERY_GRID = Grid(x0=100.0, dx=0.05, nx=200, y0=10.0, dy=0.05, ny=200)
 _CACHE: dict[str, object] = {}
 
 
+# pin the cover driver-side only below this row count: pinning turns each
+# query's broadcast build into a LocalTableScan (fixed per-query cost ~0 on
+# a shared local session), but a world-scale cover (10^6-10^7 rows) must
+# stay distributed — F.broadcast on the cached frame handles it without a
+# driver round-trip (VERDICT r01 "what's wrong" #5).
+PIN_COVER_MAX_ROWS = 200_000
+
+
+def _pinned_cover(spark: SparkSession, admins, grid: Grid):
+    cover = build_cover(admins, grid, supersample=8)
+    n = cover.count()
+    if n <= PIN_COVER_MAX_ROWS:
+        cover_pd = cover.toPandas()
+        return spark.createDataFrame(
+            cover_pd,
+            "cell_id long, admin_id string, interior boolean, coverage double",
+        )
+    return cover.cache()
+
+
 def _engine(spark: SparkSession):
     key = f"engine-{id(spark)}"
     if key not in _CACHE:
         admins = admins_df(spark)
-        # build distributed, then pin the (small) cover on the driver: each
-        # query's broadcast then builds from a LocalTableScan instead of
-        # re-running cluster tasks — fixed per-query cost drops to ~0
-        cover_pd = build_cover(admins, QUERY_GRID, supersample=8).toPandas()
-        cover = spark.createDataFrame(
-            cover_pd, "cell_id long, admin_id string, interior boolean, coverage double"
-        )
+        cover = _pinned_cover(spark, admins, QUERY_GRID)
         wkb = {r.admin_id: bytes(r.geometry) for r in admins.collect()}
         admin1 = {r.admin_id: r.admin1_id for r in admins.collect()}
         _CACHE[key] = (cover, wkb, admin1)
@@ -79,10 +93,7 @@ def _engine_wiggly(spark: SparkSession):
     key = f"wiggly-{id(spark)}"
     if key not in _CACHE:
         admins = admins_df(spark, wiggly=True)
-        cover_pd = build_cover(admins, QUERY_GRID, supersample=8).toPandas()
-        cover = spark.createDataFrame(
-            cover_pd, "cell_id long, admin_id string, interior boolean, coverage double"
-        )
+        cover = _pinned_cover(spark, admins, QUERY_GRID)
         wkb = {r.admin_id: bytes(r.geometry) for r in admins.collect()}
         _CACHE[key] = (cover, wkb, None)
     return _CACHE[key]
@@ -660,7 +671,10 @@ def q_images_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_raster_zonal_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coverage-weighted raster zonal stats over the synthetic hourly
-    raster (pytest carries the exact NumPy oracle for this path)."""
+    raster. Oracle: the 0.25-degree cells align with the 1-degree admin
+    rectangles, so coverage is exactly 1.0 and the whole computation
+    (admin = floor arithmetic on the cell, weight = spherical cell area,
+    count = coverage-weight sum) is closed-form SQL."""
     from .operators.zonal import raster_zonal_stats
     from .synth import grid_pixels_table
 
@@ -671,8 +685,45 @@ def q_raster_zonal_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         px, cover, grid, ops=["count", "weighted_mean"], by_dims=["time"]
     )
     return out.select(
-        "admin_id", "time", "count", F.round("weighted_mean", 6).alias("weighted_mean")
+        "admin_id",
+        "time",
+        F.round("count", 3).alias("count"),
+        F.round("weighted_mean", 6).alias("weighted_mean"),
     )
+
+
+def _sql_raster_zonal_weighted_mean() -> str:
+    import math
+
+    from .grids import EARTH_RADIUS_KM
+
+    area_k = EARTH_RADIUS_KM**2 * math.radians(0.25)
+    return f"""
+WITH px AS (
+  SELECT ix, iy, ih,
+         CASE WHEN (ix * 7 + iy * 13) % 23 = 0 THEN NULL
+              ELSE 280.0 + sin((100.0 + ix * 0.25) / 10) * 5
+                   + cos((10.0 + iy * 0.25) / 10) * 3 + (ih % 24) * 0.1
+         END AS value,
+         TIMESTAMP '2019-01-01 00:00:00' + ih * INTERVAL 1 HOUR AS time
+  FROM (SELECT unnest(generate_series(0, 64)) AS ix),
+       (SELECT unnest(generate_series(0, 32)) AS iy),
+       (SELECT unnest(generate_series(0, 23)) AS ih)
+),
+w AS (
+  SELECT printf('ADM2-%02d', (iy // 4) * 10 + (ix // 4)) AS admin_id, time, value,
+         {area_k!r} * (sin(radians(10.0 + (iy + 1) * 0.25))
+                       - sin(radians(10.0 + iy * 0.25))) AS wgt
+  FROM px WHERE ix < 40 AND value IS NOT NULL
+)
+SELECT admin_id, time,
+       round(sum(wgt), 3) AS count,
+       round(sum(value * wgt) / sum(wgt), 6) AS weighted_mean
+FROM w GROUP BY 1, 2
+"""
+
+
+SQL_RASTER_ZONAL_WEIGHTED_MEAN = _sql_raster_zonal_weighted_mean()
 
 
 def _engine_raster(spark: SparkSession, grid: Grid):
@@ -686,8 +737,10 @@ def _engine_raster(spark: SparkSession, grid: Grid):
 
 
 def q_resample_bilinear_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bilinear regrid of the synthetic raster to a finer grid, then
-    per-variable summary (pytest carries the exactness oracle)."""
+    """Sparse-bilinear regrid of the synthetic raster to a finer grid, then
+    per-variable summary. Oracle: both grids are closed-form, so the 4-corner
+    weights, the coastline NaN mask and the num/den renormalization are all
+    replicated as plain SQL arithmetic."""
     from .operators.resample import resample_sparse_bilinear
     from .synth import grid_pixels_table
 
@@ -700,6 +753,55 @@ def q_resample_bilinear_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_na"),
         F.round(F.avg("value"), 6).alias("mean_value"),
     )
+
+
+SQL_RESAMPLE_BILINEAR_SUMMARY = """
+WITH tgt AS (
+  SELECT (100.5 + (tix + 0.5) * 0.1 - 100.125) / 0.25 AS fx,
+         (10.5 + (tiy + 0.5) * 0.1 - 10.125) / 0.25 AS fy
+  FROM (SELECT unnest(generate_series(0, 119)) AS tix),
+       (SELECT unnest(generate_series(0, 59)) AS tiy)
+),
+refs AS (
+  SELECT fx, fy, corner,
+         greatest(0, least(64, CAST(floor(fx) AS BIGINT) + (corner % 2))) AS sx,
+         greatest(0, least(32, CAST(floor(fy) AS BIGINT) + (corner // 2))) AS sy,
+         (CASE WHEN corner % 2 = 0 THEN 1 - (fx - floor(fx)) ELSE fx - floor(fx) END)
+       * (CASE WHEN corner // 2 = 0 THEN 1 - (fy - floor(fy)) ELSE fy - floor(fy) END)
+         AS w
+  FROM tgt, (SELECT unnest(generate_series(0, 3)) AS corner)
+),
+src AS (
+  SELECT iy * 65 + ix AS scell, var, ih,
+         CASE WHEN (ix * 7 + iy * 13) % 23 = 0 THEN NULL
+              WHEN var = 't2m'
+              THEN 280.0 + sin((100.0 + ix * 0.25) / 10) * 5
+                   + cos((10.0 + iy * 0.25) / 10) * 3 + (ih % 24) * 0.1
+              ELSE greatest(0.0,
+                   sin((100.0 + ix * 0.25) + (10.0 + iy * 0.25) + ih / 7.0) * 2.0)
+         END AS value
+  FROM (SELECT unnest(generate_series(0, 64)) AS ix),
+       (SELECT unnest(generate_series(0, 32)) AS iy),
+       (SELECT unnest(generate_series(0, 1)) AS ih),
+       (SELECT unnest(['t2m', 'tp']) AS var)
+),
+agg AS (
+  SELECT r.fx, r.fy, s.var, s.ih,
+         sum(coalesce(s.value, 0.0) * r.w) AS num,
+         sum(CASE WHEN s.value IS NOT NULL THEN r.w ELSE 0.0 END) AS den,
+         sum(r.w) AS wtot
+  FROM (SELECT * FROM refs WHERE w > 0) r
+  JOIN src s ON s.scell = r.sy * 65 + r.sx
+  GROUP BY 1, 2, 3, 4
+),
+vals AS (
+  SELECT var, CASE WHEN den / wtot > 1e-06 THEN num / den END AS value FROM agg
+)
+SELECT var, count(*) AS n_pixels,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_na,
+       round(avg(value), 6) AS mean_value
+FROM vals GROUP BY 1
+"""
 
 
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -889,6 +991,56 @@ def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_ann_cosine_topk_lsh(dim: int = 64, n_bits: int = 12, probe_hamming: int = 4) -> str:
+    """DuckDB restatement of the LSH-pruned ANN: the SAME deterministic
+    hyperplanes (PCG64 seed 42) inlined as literal lists, sign-bit
+    signatures, Hamming-<=h prune, exact cosine ranking on the survivors."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(42))
+    planes = rng.standard_normal((dim, n_bits))
+    sig_terms = []
+    for b in range(n_bits):
+        plane = "[" + ", ".join(repr(float(x)) for x in planes[:, b]) + "]"
+        sig_terms.append(
+            f"(CASE WHEN list_sum([CAST(embedding[i] AS DOUBLE) * ({plane})[i] "
+            f"FOR i IN range(1, {dim + 1})]) > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        )
+    sig = " + ".join(sig_terms)
+    nrm = (
+        f"sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) "
+        f"FOR i IN range(1, {dim + 1})]))"
+    )
+    return f"""
+WITH sc AS (
+  SELECT vec_id, embedding, {sig} AS sig,
+         CASE WHEN {nrm} = 0 THEN 1.0 ELSE {nrm} END AS nrm
+  FROM embeddings WHERE vec_id >= 5
+),
+sq AS (
+  SELECT vec_id AS query_id, embedding, {sig} AS sig,
+         CASE WHEN {nrm} = 0 THEN 1.0 ELSE {nrm} END AS nrm
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                         FOR i IN range(1, {dim + 1})]) / (q.nrm * c.nrm), 6) AS sim
+  FROM sq q JOIN sc c ON bit_count(xor(q.sig, c.sig)) <= {probe_hamming}
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_ANN_COSINE_TOPK_LSH = _sql_ann_cosine_topk_lsh()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -950,6 +1102,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_admin_centroids": SQL_KNN_ADMIN_CENTROIDS,
         "embedding_near_dupes": SQL_EMBEDDING_NEAR_DUPES,
         "minhash_near_dupes": SQL_MINHASH_NEAR_DUPES,
+        "raster_zonal_weighted_mean": SQL_RASTER_ZONAL_WEIGHTED_MEAN,
+        "resample_bilinear_summary": SQL_RESAMPLE_BILINEAR_SUMMARY,
+        "ann_cosine_topk_lsh": SQL_ANN_COSINE_TOPK_LSH,
         "simhash_near_dupes": SQL_SIMHASH_NEAR_DUPES,
         # brute-force all-pairs oracle over the SAME materialized fixture
         # file the Spark query scans (ensured to exist here)

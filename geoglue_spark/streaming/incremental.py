@@ -124,6 +124,36 @@ def run_incremental(
     return todo
 
 
+def write_replace_partitions(
+    df: DataFrame, target: str, partition_col: str = "part"
+) -> str:
+    """Replace-partition commit, Iceberg when available.
+
+    The DatasetPool north star stores records in Iceberg; its idempotent
+    unit of commit is ``writeTo(table).overwritePartitions()``. This
+    container ships no iceberg-spark-runtime jar (verified: no *iceberg*
+    jar under pyspark/jars, no network to fetch one), so:
+
+      * ``target`` like ``catalog.db.table`` AND an Iceberg catalog
+        configured (``spark.sql.catalog.<name>`` set) -> real Iceberg
+        ``overwritePartitions()`` — the path a production cluster takes;
+      * otherwise -> parquet dynamic partition overwrite, which has the
+        same replace-partition semantics minus snapshot isolation (the
+        manifest table in this module carries the commit metadata an
+        Iceberg snapshot would).
+
+    Returns "iceberg" or "parquet" for the path taken.
+    """
+    spark = df.sparkSession
+    catalog = target.split(".", 1)[0] if "." in target else None
+    if catalog and spark.conf.get(f"spark.sql.catalog.{catalog}", None):
+        df.writeTo(target).overwritePartitions()
+        return "iceberg"
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(target)
+    return "parquet"
+
+
 def month_partitions(start: str, end: str) -> tuple[list[str], set[str]]:
     """Month partition names between two YYYY-MM stamps; the last one is
     'open' (reference: trailing ``_part`` month, cds.py:527-615)."""

@@ -141,3 +141,23 @@ def test_dedup_determinism_across_partitionings(spark, docs):
     pa = sorted(map(tuple, a.toPandas().values.tolist()))
     pb = sorted(map(tuple, b.toPandas().values.tolist()))
     assert pa == pb
+
+
+def test_signature_paths_agree(spark, docs):
+    """The explode+aggregate signature pipelines must equal the Column-
+    expression reference implementations exactly."""
+    from pyspark.sql import functions as F
+
+    ref = {
+        r.doc_id: (r.mh, r.sh)
+        for r in docs.select(
+            "doc_id",
+            D.minhash_sig_col(F.col("text")).alias("mh"),
+            D.simhash_col(F.col("text")).alias("sh"),
+        ).collect()
+    }
+    mh = {r._id: r._sig for r in D.minhash_signatures(docs, "text", "doc_id").collect()}
+    sh = {r._id: r.phash for r in D.simhash_signatures(docs, "text", "doc_id").collect()}
+    for d, (m, s) in ref.items():
+        assert mh[d] == m, d
+        assert sh[d] == s, d

@@ -122,3 +122,18 @@ def test_incomplete_closed_month_refuses_commit(spark, tmp_path):
         open_partitions={"2019-02"}, require_complete_months="time",
     )
     assert "2019-02" in done
+
+
+def test_write_replace_partitions_parquet_fallback(spark, tmp_path):
+    """No Iceberg catalog configured here -> parquet dynamic-overwrite path
+    with replace-partition semantics (re-writing a partition replaces its
+    rows instead of duplicating)."""
+    from geoglue_spark.streaming.incremental import write_replace_partitions
+
+    out = str(tmp_path / "t")
+    df1 = spark.createDataFrame([("p1", 1), ("p2", 2)], "part string, v int")
+    assert write_replace_partitions(df1, out) == "parquet"
+    df2 = spark.createDataFrame([("p2", 99)], "part string, v int")
+    assert write_replace_partitions(df2, out) == "parquet"
+    got = {(r.part, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {("p1", 1), ("p2", 99)}
