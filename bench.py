@@ -123,6 +123,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "ann_cosine_topk",
         "minhash_near_dupes",
         "simhash_near_dupes",
+        "knn_admin_centroids",
+        "phash_dedup_pairs",
+        "embedding_near_dupes",
+        "raster_zonal_weighted_mean",
+        "daily_stats_registry",
     ]
     qs = Q.queries()
     times: dict[str, float] = {}

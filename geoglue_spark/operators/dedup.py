@@ -208,16 +208,15 @@ def minhash_signatures(
         F.explode(word_shingles_col(F.col(text_col), shingle_k)).alias("_g"),
     )
     xs = grams.select("_id", shingle_key_col(F.col("_g")).alias("_x"))
+    # one F.expr per aggregate (single py4j call each): building these with
+    # chained Column ops costs ~2ms of py4j round-trips per op x 64
     aggs = [
-        F.min(
-            (F.lit(int(a[j])) * F.col("_x") + F.lit(int(b[j]))) % F.lit(MH_P)
-        ).alias(f"_m{j}")
+        F.expr(f"min(({int(a[j])}L * _x + {int(b[j])}L) % {MH_P}L)").alias(f"_m{j}")
         for j in range(n_perm)
     ]
     mins = xs.groupBy("_id").agg(*aggs)
-    return mins.select(
-        "_id", F.array(*[f"_m{j}" for j in range(n_perm)]).alias("_sig")
-    )
+    sig = F.expr("array(" + ", ".join(f"_m{j}" for j in range(n_perm)) + ")")
+    return mins.select("_id", sig.alias("_sig"))
 
 
 def minhash_near_dupes(
@@ -341,24 +340,22 @@ def simhash_signatures(
         "_blank",
         F.concat(F.md5("_t"), F.md5(F.concat(F.col("_t"), F.lit("#")))).alias("_h"),
     )
+    # F.expr strings keep expression construction to one py4j call per
+    # aggregate / one for the whole signature assembly (Column-op chaining
+    # costs seconds of driver time at 60 bits)
     votes = hs.groupBy("_id", "_blank").agg(
         F.count("*").alias("_n"),
         *[
-            F.sum(
-                F.when(F.substring("_h", b + 1, 1) >= F.lit("8"), 1).otherwise(0)
-            ).alias(f"_o{b}")
+            F.expr(f"sum(if(substring(_h, {b + 1}, 1) >= '8', 1, 0))").alias(f"_o{b}")
             for b in range(n_bits)
         ],
     )
-    sig = None
-    for b in range(n_bits):
-        term = F.when(
-            F.col(f"_o{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
+    sig = " + ".join(
+        f"if(_o{b} * 2 > _n, {1 << b}L, 0L)" for b in range(n_bits)
+    )
     return votes.select(
         F.col("_id"),
-        F.when(F.col("_blank"), F.lit(0).cast("long")).otherwise(sig).alias("phash"),
+        F.expr(f"if(_blank, 0L, {sig})").alias("phash"),
     )
 
 

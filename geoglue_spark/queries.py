@@ -804,6 +804,59 @@ FROM vals GROUP BY 1
 """
 
 
+def q_daily_stats_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 driven by the variable registry: ONE aggregation pass computes
+    every daily statistic, the broadcast (var, stat) allow-table unpivots
+    to long form (t2m -> mean/min/max, tp -> sum)."""
+    from .registry import apply_daily_statistics, default_registry
+    from .synth import grid_pixels_table
+
+    px = grid_pixels_table(spark, hours=48)
+    out = apply_daily_statistics(px, default_registry(), keys=["lon", "lat"])
+    return out.groupBy("var", "stat", "date").agg(
+        F.count("*").alias("n_cells"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )
+
+
+SQL_DAILY_STATS_REGISTRY = """
+WITH px AS (
+  SELECT ix, iy, ih, var,
+         DATE '2019-01-01' + CAST(ih // 24 AS INT) AS date,
+         CASE WHEN (ix * 7 + iy * 13) % 23 = 0 THEN NULL
+              WHEN var = 't2m'
+              THEN 280.0 + sin((100.0 + ix * 0.25) / 10) * 5
+                   + cos((10.0 + iy * 0.25) / 10) * 3 + (ih % 24) * 0.1
+              ELSE greatest(0.0,
+                   sin((100.0 + ix * 0.25) + (10.0 + iy * 0.25) + ih / 7.0) * 2.0)
+         END AS value
+  FROM (SELECT unnest(generate_series(0, 64)) AS ix),
+       (SELECT unnest(generate_series(0, 32)) AS iy),
+       (SELECT unnest(generate_series(0, 47)) AS ih),
+       (SELECT unnest(['t2m', 'tp']) AS var)
+),
+daily AS (
+  SELECT date, var, ix, iy,
+         avg(value) AS daily_mean, min(value) AS daily_min,
+         max(value) AS daily_max, sum(value) AS daily_sum
+  FROM px GROUP BY 1, 2, 3, 4
+),
+long AS (
+  SELECT date, var, stat,
+         CASE stat WHEN 'daily_mean' THEN daily_mean
+                   WHEN 'daily_min' THEN daily_min
+                   WHEN 'daily_max' THEN daily_max
+                   ELSE daily_sum END AS value
+  FROM daily,
+       (SELECT unnest(['daily_mean', 'daily_min', 'daily_max', 'daily_sum']) AS stat)
+  WHERE (var = 't2m' AND stat IN ('daily_mean', 'daily_min', 'daily_max'))
+     OR (var = 'tp' AND stat = 'daily_sum')
+)
+SELECT var, stat, date, count(*) AS n_cells, round(avg(value), 6) AS mean_value
+FROM long GROUP BY 1, 2, 3
+"""
+
+
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import lang_id_udf
 
@@ -1075,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_zonal_weighted_mean": q_raster_zonal_weighted_mean,
         "resample_bilinear_summary": q_resample_bilinear_summary,
         "lang_id_counts": q_lang_id_counts,
+        "daily_stats_registry": q_daily_stats_registry,
     }
 
 
@@ -1112,6 +1166,7 @@ def oracle_sql() -> dict[str, str]:
             images_path=images_parquet(N_IMAGES)
         ),
         "lang_id_counts": SQL_LANG_ID_COUNTS,
+        "daily_stats_registry": SQL_DAILY_STATS_REGISTRY,
         # image decode path: rows-only (binary codecs aren't SQL);
         # pytest carries its exact oracle (tests/test_images.py)
     }

@@ -261,3 +261,37 @@ def test_config_lineage_through_concat(spark):
     from geoglue_spark.config import read_job_configs
 
     assert [c.raster for c in read_job_configs(combined)] == ["r1", "r2"]
+
+
+# ---- variable registry ---------------------------------------------------------
+def test_registry_from_toml_and_rules():
+    from geoglue_spark.operators import resample as RS
+    from geoglue_spark.registry import VariableRegistry, default_registry, resampler_for
+
+    reg = default_registry()
+    assert reg["t2m"].vartype == "instant" and reg["tp"].vartype == "accum"
+    # explicit override beats the daily_sum rule
+    assert reg["ssrd"].effective_resampling == "bilinear"
+    assert reg["tp"].effective_resampling == "distance"
+    assert resampler_for(reg["tp"]) is RS.resample_distance
+    assert resampler_for(reg["t2m"]) is RS.resample_sparse_bilinear
+    assert reg["ws10"].depends == ("u10", "v10")
+    with pytest.raises(ValueError, match="unknown statistics"):
+        VariableRegistry.from_toml('[x.y]\nstatistics = ["weekly_mode"]\n')
+
+
+def test_apply_daily_statistics_dispatch(spark):
+    from geoglue_spark.registry import apply_daily_statistics, default_registry
+
+    rows = [
+        ("t2m", dt.datetime(2019, 1, 1, h), float(h)) for h in range(24)
+    ] + [("tp", dt.datetime(2019, 1, 1, h), 1.0) for h in range(24)]
+    df = spark.createDataFrame(rows, "var string, time timestamp, value double")
+    out = apply_daily_statistics(df, default_registry())
+    got = {(r.var, r.stat): r.value for r in out.collect()}
+    assert got == {
+        ("t2m", "daily_mean"): 11.5,
+        ("t2m", "daily_min"): 0.0,
+        ("t2m", "daily_max"): 23.0,
+        ("tp", "daily_sum"): 24.0,
+    }
