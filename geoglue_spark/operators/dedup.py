@@ -236,9 +236,12 @@ def minhash_near_dupes(
     """
     rows_per_band = n_perm // bands
     sig = minhash_signatures(df, text_col, id_col, n_perm, shingle_k).cache()
+    # slim band rows: (id, band_idx, band_hash) only — the 64-long signature
+    # never rides through the 16x explode or the self-join shuffle; the
+    # verify stage re-joins it by id (shuffle volume = candidate pairs, not
+    # candidate pairs x signature width)
     band_rows = sig.select(
         "_id",
-        "_sig",
         F.explode(
             F.array(
                 *[
@@ -252,23 +255,23 @@ def minhash_near_dupes(
                 ]
             )
         ).alias("b"),
-    ).select("_id", "_sig", "b.band_idx", "b.band_hash")
+    ).select("_id", "b.band_idx", "b.band_hash")
     a = band_rows.alias("a")
     b = band_rows.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sig").alias("sig_a"),
-            F.col("b._sig").alias("sig_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand_ids.join(
+        sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")), "id_a"
+    ).join(
+        sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")), "id_b"
     )
     agree = F.size(
         F.filter(

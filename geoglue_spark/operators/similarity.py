@@ -111,36 +111,45 @@ def cosine_topk_lsh(
     """Approximate top-k: only candidates whose hyperplane signature is
     within ``probe_hamming`` bits of the query's signature are scored.
 
-    At scale this turns a full scan into a bucket-pruned scan: the
-    candidate table is pre-partitioned by signature (a write-once index),
-    and multiprobe expansion touches sum(C(n_bits, <=h)) buckets.
+    Scale shape: the candidate side carries its signature as a plain
+    column (a write-once index at rest — partition/bucket the stored table
+    by ``_sig``), and each QUERY explodes to every signature within
+    ``probe_hamming`` bit-flips — sum(C(n_bits, 0..h)) probe rows per
+    query, broadcast, then a pure broadcast-hash-EQUI-join on the
+    signature. No per-candidate predicate evaluation: at 10^9 candidates
+    the scan cost is the hash probe, and with a signature-partitioned
+    store the untouched buckets are never read.
     """
+    import itertools
+
     dim = len(queries[0][1])
     sig_udf = hyperplane_signature_udf(dim, n_bits)
     with_sig = candidates.withColumn("_sig", sig_udf(F.col(vec_col)))
 
     rng = np.random.Generator(np.random.PCG64(42))
     planes = rng.standard_normal((dim, n_bits))
-    q_sigs = {}
+    probe_rows = []
     qvecs = {}
+    masks = [
+        sum(1 << b for b in combo)
+        for r in range(probe_hamming + 1)
+        for combo in itertools.combinations(range(n_bits), r)
+    ]
     for qid, v in queries:
         vec = np.asarray(v, np.float64)
         bits = (vec @ planes) > 0
-        q_sigs[qid] = int(sum(int(b) << i for i, b in enumerate(bits)))
+        qsig = int(sum(int(b) << i for i, b in enumerate(bits)))
+        probe_rows += [(int(qid), qsig ^ m) for m in masks]
         n = np.linalg.norm(vec)
         qvecs[int(qid)] = vec / (n if n else 1.0)
 
     spark = candidates.sparkSession
-    qsig_df = F.broadcast(
-        spark.createDataFrame(
-            [(qid, s) for qid, s in q_sigs.items()], "query_id long, qsig long"
-        )
+    probes = F.broadcast(
+        spark.createDataFrame(probe_rows, "query_id long, psig long")
     )
-    # bucket prune: one broadcast join (tiny NLJ on the Hamming predicate)
-    pruned = with_sig.join(
-        qsig_df,
-        F.bit_count(F.col("_sig").bitwiseXOR(F.col("qsig"))) <= probe_hamming,
-    ).select(id_col, vec_col, "query_id")
+    pruned = with_sig.join(probes, F.col("_sig") == F.col("psig")).select(
+        id_col, vec_col, "query_id"
+    )
 
     # single-pass scoring: one scalar pandas UDF over (query_id, vec)
     bc = spark.sparkContext.broadcast(qvecs)

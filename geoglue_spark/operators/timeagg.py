@@ -171,7 +171,14 @@ def positional_slice(
 ) -> DataFrame:
     """W4: positional slicing over time order per key — the Spark analog of
     xarray's ``isel(slice(start, stop))`` (reference cds.py:285-291).
-    Negative indices count from the end, like Python slices."""
+    Negative indices count from the end, like Python slices.
+
+    SCALE WARNING: with no ``keys`` the global ordering semantically
+    requires a SINGLE-partition window — the whole frame funnels through
+    one task. That is correct (and cheap) for coordinate/metadata tables,
+    which is what the reference slices; for large fact tables always pass
+    ``keys`` (e.g. per-variable, per-tile) so each window partition stays
+    bounded."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy(*keys) if keys else W.partitionBy(F.lit(1))

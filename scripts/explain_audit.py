@@ -21,12 +21,9 @@ FLAGS = {
     "BroadcastNestedLoopJoin": "nested-loop join",
 }
 
-# Intentional broadcast nested-loop joins against tiny broadcast sides:
-# the join predicate is inherently non-equi (Hamming distance) and the
-# broadcast relation is O(n_queries) rows, so BNLJ IS the right plan.
-ALLOW = {
-    "ann_cosine_topk_lsh": {"BroadcastNestedLoopJoin"},
-}
+# No intentional nested-loop joins remain: kNN uses the bucket-probe
+# equi-join and ANN-LSH the probe-signature equi-join.
+ALLOW: dict[str, set[str]] = {}
 
 
 def main() -> int:
