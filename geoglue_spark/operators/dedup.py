@@ -463,23 +463,24 @@ def embedding_near_dupes(
 def ngram_jaccard_pairs(
     df: DataFrame, pairs: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
 ) -> DataFrame:
-    """Exact word-shingle Jaccard for candidate pairs (the verify stage
-    after any LSH): join texts, compute in an Arrow UDF."""
-
-    @F.pandas_udf(T.DoubleType())
-    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.empty(len(ta))
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            sa = set(map(int, _shingle_hashes(x or "", shingle_k)))
-            sb = set(map(int, _shingle_hashes(y or "", shingle_k)))
-            u = len(sa | sb)
-            out[i] = (len(sa & sb) / u) if u else 1.0
-        return pd.Series(out)
-
-    texts = df.select(F.col(id_col), F.col(text_col))
+    """Exact word-shingle-SET Jaccard for candidate pairs (the verify stage
+    after any LSH): join the two texts' shingle arrays, then pure JVM
+    array_intersect/array_union set math — no Python, SQL-expressible."""
+    grams = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles_col(F.col(text_col), shingle_k)).alias("_g"),
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = F.size(F.array_union("_ga", "_gb")).cast("double")
     return (
-        pairs.join(texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "_ta"), "id_a")
-        .join(texts.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "_tb"), "id_b")
-        .withColumn("jaccard", jac(F.col("_ta"), F.col("_tb")))
-        .drop("_ta", "_tb")
+        pairs.join(
+            grams.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga")), "id_a"
+        )
+        .join(
+            grams.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb")), "id_b"
+        )
+        .withColumn(
+            "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+        )
+        .drop("_ga", "_gb")
     )

@@ -98,14 +98,138 @@ def reencode_psnr(images: DataFrame, fmt: str = "qnt") -> DataFrame:
     )
 
 
+def resize_images(
+    images: DataFrame, out_w: int, out_h: int, out_fmt: str = "raw"
+) -> DataFrame:
+    """Decode -> nearest-neighbour resize (pure NumPy index math) ->
+    re-encode. Real end-to-end for the container-native codecs
+    (raw/png/qnt); formats needing external decoders surface as dropped
+    rows (the count is observable as input minus output)."""
+    from ..images import encode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    pix = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
+                except NotImplementedError:
+                    continue
+                sy = (np.arange(out_h) * r.h // out_h).astype(np.int64)
+                sx = (np.arange(out_w) * r.w // out_w).astype(np.int64)
+                resized = pix[sy][:, sx]
+                out.append(
+                    (r.image_id, encode_image(resized, out_fmt), out_w, out_h, out_fmt)
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# video / audio: REAL Spark plumbing over deterministic fake containers.
+# The container ships no video/audio codec libraries, so per the build rules
+# the decode bodies support only the self-describing fake formats below and
+# raise NotImplementedError for real ones — schema, partitioning, UDF
+# signature and batch shape are the production-shaped parts.
+# ---------------------------------------------------------------------------
+def encode_rawvid(frames: np.ndarray) -> bytes:
+    """Deterministic fake video container: header (n, h, w as uint32 LE) +
+    concatenated 8-bit grayscale frames."""
+    import struct
+
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = f.shape
+    return struct.pack("<III", n, h, w) + f.tobytes()
+
+
+def _decode_rawvid(buf: bytes) -> np.ndarray:
+    import struct
+
+    n, h, w = struct.unpack_from("<III", buf, 0)
+    return np.frombuffer(buf, dtype=np.uint8, offset=12).reshape(n, h, w)
+
+
+def sample_video_frames(
+    videos: DataFrame, every_n: int = 10, fmt_col: str = "fmt"
+) -> DataFrame:
+    """Frame sampling: one output row per kept frame
+    (video_id, frame_idx, w, h, frame binary, mean_px). Arrow-batched
+    mapInPandas; only the 'rawvid' fake container decodes here — real
+    codecs raise NotImplementedError (STUB: no video codec in this
+    container) and surface as dropped rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                fmt = getattr(r, fmt_col)
+                if fmt != "rawvid":
+                    # STUB: no video codec in this container
+                    continue
+                frames = _decode_rawvid(bytes(r.bytes))
+                for idx in range(0, frames.shape[0], every_n):
+                    fr = frames[idx]
+                    out.append(
+                        (
+                            r.video_id,
+                            int(idx),
+                            int(fr.shape[1]),
+                            int(fr.shape[0]),
+                            fr.tobytes(),
+                            float(fr.mean()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["video_id", "frame_idx", "w", "h", "frame", "mean_px"],
+            )
+
+    return videos.select("video_id", "bytes", fmt_col).mapInPandas(
+        run,
+        "video_id string, frame_idx int, w int, h int, frame binary, mean_px double",
+    )
+
+
+def audio_features(audio: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Per-clip audio features (duration, RMS, zero-crossing rate) from
+    16-bit little-endian PCM payloads ('rawpcm' fake container — real
+    codecs raise, see module note). The feature math is real NumPy."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.fmt != "rawpcm":
+                    # STUB: no audio codec in this container
+                    continue
+                pcm = np.frombuffer(bytes(r.bytes), dtype="<i2").astype(np.float64)
+                n = len(pcm)
+                rms = float(np.sqrt(np.mean(pcm**2))) if n else 0.0
+                zc = float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))) if n > 1 else 0.0
+                out.append((r.audio_id, n / sample_rate, rms, zc))
+            yield pd.DataFrame(
+                out, columns=["audio_id", "duration_sec", "rms", "zcr"]
+            )
+
+    return audio.select("audio_id", "bytes", "fmt").mapInPandas(
+        run, "audio_id string, duration_sec double, rms double, zcr double"
+    )
+
+
 def decode_video_frames(*_args, **_kwargs):
-    """STUB: video frame sampling needs a codec library absent from this
-    container. The plumbing would mirror decode_stats: mapInPandas emitting
-    one row per sampled frame (image_id, frame_idx, bytes)."""
+    """STUB: real video codecs are absent from this container — use
+    :func:`sample_video_frames`, whose Spark plumbing is real and which
+    decodes the deterministic 'rawvid' fake container."""
     raise NotImplementedError("STUB: no video codec in this container")
 
 
 def decode_audio(*_args, **_kwargs):
-    """STUB: audio decode absent from this container; same mapInPandas
-    plumbing with (audio_id, sample_rate, pcm binary) output."""
+    """STUB: real audio codecs are absent from this container — use
+    :func:`audio_features`, whose Spark plumbing is real and which reads
+    the 'rawpcm' fake container."""
     raise NotImplementedError("STUB: no audio codec in this container")

@@ -931,12 +931,10 @@ def q_minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"))
 
 
-def _sql_minhash_near_dupes() -> str:
-    """DuckDB restatement: identical md5-based shingle keys and universal
-    hashes mod 2^31-1 (same a_j/b_j literals), LSH candidates = exact
-    equality of at least one signature band (the Spark side equi-joins on a
-    murmur3 band hash — a superset only via ~2^-32 hash collisions)."""
-    n_perm, bands, k, minj = _MH_N_PERM, _MH_BANDS, _MH_K, _MH_MINJ
+def _minhash_sql_parts() -> tuple[str, str, str]:
+    """Shared DuckDB CTE block (shingles -> md5 keys -> signatures) plus the
+    band-candidate condition and the agreement-fraction expression."""
+    n_perm, bands, k = _MH_N_PERM, _MH_BANDS, _MH_K
     a, b = _mh_params(n_perm)
     perms = ",\n         ".join(
         f"list_min([({int(a[j])} * x + {int(b[j])}) % 2147483647 FOR x IN xs])"
@@ -951,7 +949,7 @@ def _sql_minhash_near_dupes() -> str:
         f"list_sum([CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END "
         f"FOR i IN range(1, {n_perm + 1})]) / {n_perm}.0"
     )
-    return f"""
+    ctes = f"""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
 ),
@@ -970,15 +968,65 @@ x AS (
 ),
 s AS (
   SELECT doc_id, [{perms}] AS sig FROM x
-)
+)"""
+    return ctes, band_conds, agree
+
+
+def _sql_minhash_near_dupes() -> str:
+    """DuckDB restatement: identical md5-based shingle keys and universal
+    hashes mod 2^31-1 (same a_j/b_j literals), LSH candidates = exact
+    equality of at least one signature band (the Spark side equi-joins on a
+    murmur3 band hash — a superset only via ~2^-32 hash collisions)."""
+    ctes, band_conds, agree = _minhash_sql_parts()
+    return f"""
+{ctes}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, round({agree}, 6) AS jaccard_est
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE ({band_conds})
-  AND {agree} >= {minj}
+  AND {agree} >= {_MH_MINJ}
 """
 
 
 SQL_MINHASH_NEAR_DUPES = _sql_minhash_near_dupes()
+
+
+def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verify stage after LSH: exact word-shingle-set Jaccard for every
+    MinHash candidate pair — pure JVM array set math."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = _table(spark, sf_dir, "documents")
+    cand = minhash_near_dupes(
+        docs, "text", "doc_id",
+        n_perm=_MH_N_PERM, bands=_MH_BANDS, shingle_k=_MH_K, min_jaccard=_MH_MINJ,
+    ).select("id_a", "id_b")
+    out = ngram_jaccard_pairs(docs, cand, "text", "doc_id", shingle_k=_MH_K)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _sql_ngram_jaccard_verify() -> str:
+    ctes, band_conds, agree = _minhash_sql_parts()
+    return f"""
+{ctes},
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE ({band_conds})
+    AND {agree} >= {_MH_MINJ}
+),
+gd AS (SELECT doc_id, list_distinct(grams) AS gs FROM g)
+SELECT c.id_a, c.id_b,
+       round(CASE WHEN len(list_distinct(ga.gs || gb.gs)) > 0
+                  THEN len(list_intersect(ga.gs, gb.gs)) * 1.0
+                       / len(list_distinct(ga.gs || gb.gs))
+                  ELSE 1.0 END, 6) AS jaccard
+FROM cand c
+JOIN gd ga ON c.id_a = ga.doc_id
+JOIN gd gb ON c.id_b = gb.doc_id
+"""
+
+
+SQL_NGRAM_JACCARD_VERIFY = _sql_ngram_jaccard_verify()
 
 
 _SH_MAX_HAMMING = 6
@@ -1129,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_bilinear_summary": q_resample_bilinear_summary,
         "lang_id_counts": q_lang_id_counts,
         "daily_stats_registry": q_daily_stats_registry,
+        "ngram_jaccard_verify": q_ngram_jaccard_verify,
     }
 
 
@@ -1167,6 +1216,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id_counts": SQL_LANG_ID_COUNTS,
         "daily_stats_registry": SQL_DAILY_STATS_REGISTRY,
+        "ngram_jaccard_verify": SQL_NGRAM_JACCARD_VERIFY,
         # image decode path: rows-only (binary codecs aren't SQL);
         # pytest carries its exact oracle (tests/test_images.py)
     }

@@ -84,3 +84,59 @@ def test_images_decode_invariants(spark):
             np.testing.assert_array_equal(got, want)
         assert r.caption == f"caption for image {ci:012d} over tile ({ci % 64},{ci // 64 % 64})"
         assert int(r.phash) == I.phash64(want)
+
+
+def test_resize_images(spark):
+    from geoglue_spark.images import decode_image
+    from geoglue_spark.operators.multimodal import resize_images
+    from geoglue_spark.synth import images_table
+
+    imgs = images_table(spark, 30)
+    out = resize_images(imgs, 8, 8, out_fmt="raw").collect()
+    assert len(out) == 30  # raw/png/qnt all decode natively
+    import numpy as np
+
+    for r in out[:5]:
+        assert (r.w, r.h, r.fmt) == (8, 8, "raw")
+        pix = decode_image(bytes(r.bytes), 8, 8, "raw")
+        assert pix.shape[:2] == (8, 8)
+    # resize is deterministic: same input -> same bytes across partitionings
+    again = {r.image_id: bytes(r.bytes) for r in resize_images(imgs.repartition(7), 8, 8).collect()}
+    assert {r.image_id: bytes(r.bytes) for r in out} == again
+
+
+def test_sample_video_frames_plumbing(spark):
+    import numpy as np
+
+    from geoglue_spark.operators.multimodal import encode_rawvid, sample_video_frames
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    rows = []
+    for vid in range(3):
+        frames = rng.integers(0, 256, size=(25, 4, 6), dtype=np.uint8)
+        rows.append((f"v{vid}", encode_rawvid(frames), "rawvid"))
+    rows.append(("v_real", b"\x00\x00\x00\x18ftypmp42", "mp4"))  # real codec -> dropped
+    df = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
+    out = sample_video_frames(df, every_n=10).toPandas()
+    # 25 frames sampled every 10 -> idx 0, 10, 20 per video; mp4 dropped
+    assert sorted(out.video_id.unique()) == ["v0", "v1", "v2"]
+    assert sorted(out[out.video_id == "v0"].frame_idx) == [0, 10, 20]
+    assert (out.w == 6).all() and (out.h == 4).all()
+    assert len(bytes(out.frame.iloc[0])) == 24
+
+
+def test_audio_features_plumbing(spark):
+    import numpy as np
+
+    from geoglue_spark.operators.multimodal import audio_features
+
+    t = np.arange(16000, dtype=np.float64) / 16000.0
+    sine = (np.sin(2 * np.pi * 440 * t) * 10000).astype("<i2")
+    rows = [("a0", sine.tobytes(), "rawpcm"), ("a1", b"\xff\xfb\x90", "mp3")]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    out = {r.audio_id: r for r in audio_features(df).collect()}
+    assert set(out) == {"a0"}  # mp3 dropped (no codec)
+    r = out["a0"]
+    assert abs(r.duration_sec - 1.0) < 1e-9
+    assert abs(r.rms - 10000 / 2**0.5) < 100  # sine RMS = A/sqrt(2)
+    assert abs(r.zcr - 2 * 440 / 16000) < 0.005  # 880 crossings/sec
