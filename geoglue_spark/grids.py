@@ -154,6 +154,17 @@ class Grid:
             * (F.sin(F.radians(y_top)) - F.sin(F.radians(y_bot)))
         )
 
+    def bbox(self):
+        """Edge-to-edge extent as a geometry.Bbox."""
+        from .geometry import Bbox
+
+        return Bbox(
+            self.x0,
+            self.y0,
+            self.x0 + self.nx * self.dx,
+            self.y0 + self.ny * self.dy,
+        )
+
     # ---- compat --------------------------------------------------------
     def approx_equal(self, other: "Grid", rtol: float = 1e-5, atol: float = 1e-7) -> bool:
         """Grid compatibility gate before zonal stats / joins (the

@@ -27,6 +27,28 @@ from ..grids import Grid
 SPARSE_EPS = 1e-6  # reference resample.py:19-78
 
 
+def check_resample_coverage(
+    source: Grid, target: Grid, strict: bool = False
+) -> bool:
+    """R4 pre-flight gate (reference resample.py:118-129): the source grid
+    must entirely cover the target grid or edge pixels interpolate from
+    clamped/missing neighbours (NA bleed). Warns by default — like the
+    reference — or raises with ``strict=True``. Returns coverage status."""
+    import warnings
+
+    covered = source.bbox().contains(target.bbox())
+    if not covered:
+        msg = (
+            "source grid bbox should entirely cover the target bbox to avoid "
+            f"NA at the edges: source={source.bbox()} target={target.bbox()}; "
+            "enlarge the source crop (Bbox.enlarge) or shrink the target"
+        )
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg)
+    return covered
+
+
 def _target_pixels(spark, target: Grid) -> DataFrame:
     """One row per target pixel with center coordinates (JVM-generated)."""
     n = target.nx * target.ny
@@ -96,7 +118,9 @@ def resample_bilinear(
 ) -> DataFrame:
     """R1 remapbil analog. NaN in any contributing source pixel propagates
     (CDO bilinear behavior); use resample_sparse_bilinear to avoid bleed.
-    ``dims`` are extra key columns (time, var) carried through."""
+    ``dims`` are extra key columns (time, var) carried through. Emits the
+    R4 coverage warning when the source doesn't cover the target."""
+    check_resample_coverage(source, target)
     spark = pixels.sparkSession
     refs = _bilinear_refs(_target_pixels(spark, target), source)
     src = _source_cells(pixels, source, value_col, lon_col, lat_col, list(dims))
@@ -132,6 +156,7 @@ def resample_sparse_bilinear(
     out = bilinear(value filled 0) / bilinear(valid mask), masked where the
     interpolated mask <= eps. One join + one aggregation (numerator and
     denominator as two agg columns), not two passes."""
+    check_resample_coverage(source, target)
     spark = pixels.sparkSession
     refs = _bilinear_refs(_target_pixels(spark, target), source)
     src = _source_cells(pixels, source, value_col, lon_col, lat_col, list(dims)).select(
@@ -177,6 +202,7 @@ def resample_distance(
     explodes to the (2*ring+1)^2 neighborhood of its containing source
     cell, joins, ranks by distance (ties broken by cell id — deterministic)
     and keeps k."""
+    check_resample_coverage(source, target)
     from pyspark.sql import Window as W
 
     spark = pixels.sparkSession

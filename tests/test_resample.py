@@ -101,3 +101,24 @@ def test_dims_carried_through(spark):
     out = resample_bilinear(two, SRC, TGT, dims=["var"])
     counts = {r["var"]: r["n"] for r in out.groupBy("var").agg(F.count("*").alias("n")).collect()}
     assert counts == {"a": TGT.nx * TGT.ny, "b": TGT.nx * TGT.ny}
+
+
+def test_coverage_gate_warns_and_raises(spark):
+    """R4 (reference resample.py:118-129): source must cover target."""
+    import warnings
+
+    import pytest
+
+    from geoglue_spark.grids import Grid
+    from geoglue_spark.operators.resample import check_resample_coverage
+
+    src = Grid(x0=100.0, dx=0.25, nx=8, y0=10.0, dy=0.25, ny=8)
+    inside = Grid(x0=100.25, dx=0.1, nx=10, y0=10.25, dy=0.1, ny=10)
+    outside = Grid(x0=99.0, dx=0.1, nx=10, y0=10.25, dy=0.1, ny=10)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no warning expected
+        assert check_resample_coverage(src, inside) is True
+    with pytest.warns(UserWarning, match="entirely cover"):
+        assert check_resample_coverage(src, outside) is False
+    with pytest.raises(ValueError, match="entirely cover"):
+        check_resample_coverage(src, outside, strict=True)
