@@ -73,3 +73,34 @@ def test_self_similarity_rank1(spark, emb):
     got = cosine_topk(df, queries, k=3).toPandas()  # candidate set includes the query itself
     assert got[got["rank"] == 1].neighbor_id.iloc[0] == 5
     assert got[got["rank"] == 1].sim.iloc[0] == 1.0
+
+
+def test_ann_index_at_rest_partition_pruned(spark, tmp_path):
+    """build_ann_index + cosine_topk_lsh_indexed must (a) return exactly
+    what cosine_topk_lsh returns over the same candidates, and (b) scan
+    only the probed signature buckets (partition pruning)."""
+    from geoglue_spark.operators.similarity import (
+        build_ann_index,
+        cosine_topk_lsh,
+        cosine_topk_lsh_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter("vec_id < 5").collect()
+    ]
+    cands = emb.filter("vec_id >= 5")
+    path = str(tmp_path / "ann_index")
+    build_ann_index(cands, path, n_bits=12)
+
+    direct = cosine_topk_lsh(cands, qs, k=5, n_bits=12, probe_hamming=4).orderBy(
+        "query_id", "rank"
+    )
+    indexed = cosine_topk_lsh_indexed(
+        spark, path, qs, k=5, n_bits=12, probe_hamming=4
+    ).orderBy("query_id", "rank")
+    assert [tuple(r) for r in direct.collect()] == [tuple(r) for r in indexed.collect()]
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [_sig#" in plan and "INSET" in plan
