@@ -113,6 +113,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "zonal_value_stats",
         "images_admin_count",
         "tpch_q1",
+        "tpch_q5_local_supplier",
+        "tpch_q14_promo_share",
         "top_revenue_orders",
         "daily_events",
         "weekly_events",

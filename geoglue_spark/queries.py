@@ -305,6 +305,91 @@ ORDER BY revenue DESC, orderkey ASC LIMIT 20
 """
 
 
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation for orders whose customer and
+    supplier share the nation, one region, one order-date year. Exercises
+    the full dimension chain (region -> nation -> customer/supplier) — all
+    dims broadcast, the two fact joins shuffle on their keys."""
+    li = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer")
+    supp = _table(spark, sf_dir, "supplier")
+    nation = _table(spark, sf_dir, "nation")
+    region = _table(spark, sf_dir, "region")
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01"))
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+SQL_TPCH_Q5_LOCAL_SUPPLIER = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+GROUP BY 1
+"""
+
+
+def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: revenue share of one part type per month — a
+    broadcast part join + conditional aggregation."""
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                * 100.0
+                / F.sum(rev),
+                6,
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_TPCH_Q14_PROMO_SHARE = """
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+       round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             * 100.0 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share_pct,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # time semantics (daily / ISO-weekly / tz shift with the accum -1 rule)
 # ---------------------------------------------------------------------------
@@ -1153,6 +1238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_cells_topk": q_hotspot_cells_topk,
         "images_admin_count": q_images_admin_count,
         "tpch_q1": q_tpch_q1,
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "tpch_q14_promo_share": q_tpch_q14_promo_share,
         "top_revenue_orders": q_top_revenue_orders,
         "daily_events": q_daily_events,
         "weekly_events": q_weekly_events,
@@ -1189,6 +1276,8 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_cells_topk": SQL_HOTSPOT_CELLS_TOPK,
         "images_admin_count": SQL_IMAGES_ADMIN_COUNT,
         "tpch_q1": SQL_TPCH_Q1,
+        "tpch_q5_local_supplier": SQL_TPCH_Q5_LOCAL_SUPPLIER,
+        "tpch_q14_promo_share": SQL_TPCH_Q14_PROMO_SHARE,
         "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
         "daily_events": SQL_DAILY_EVENTS,
         "weekly_events": SQL_WEEKLY_EVENTS,

@@ -154,6 +154,54 @@ def write_replace_partitions(
     return "parquet"
 
 
+def stream_ingest_partitions(
+    stream: DataFrame,
+    out_path: str,
+    manifest: CheckpointManifest,
+    partition_expr,
+    checkpoint_path: str,
+    partition_col: str = "part",
+    lineage: str = "",
+):
+    """Structured-Streaming ingest into the replace-partition store.
+
+    Each micro-batch tags rows with ``partition_expr`` and commits through
+    :func:`write_replace_partitions` (Iceberg when a catalog is configured,
+    parquet dynamic overwrite otherwise), then appends manifest rows — the
+    streaming face of run_incremental: re-delivered batches REPLACE their
+    partitions instead of duplicating them, so the sink is idempotent under
+    at-least-once delivery. Returns the StreamingQuery (availableNow
+    trigger; call .awaitTermination()).
+    """
+    spark = stream.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.time()
+        tagged = batch_df.withColumn(partition_col, partition_expr).cache()
+        counts = {
+            r[partition_col]: r["cnt"]
+            for r in tagged.groupBy(partition_col).count().withColumnRenamed("count", "cnt").collect()
+        }
+        if not counts:
+            tagged.unpersist()
+            return
+        write_replace_partitions(tagged, out_path, partition_col)
+        secs = time.time() - t0
+        for p, n in sorted(counts.items()):
+            manifest.record(
+                spark, str(p), int(n), secs / len(counts),
+                lineage=f"{lineage} batch={batch_id}".strip(),
+            )
+        tagged.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def month_partitions(start: str, end: str) -> tuple[list[str], set[str]]:
     """Month partition names between two YYYY-MM stamps; the last one is
     'open' (reference: trailing ``_part`` month, cds.py:527-615)."""

@@ -137,3 +137,54 @@ def test_write_replace_partitions_parquet_fallback(spark, tmp_path):
     assert write_replace_partitions(df2, out) == "parquet"
     got = {(r.part, r.v) for r in spark.read.parquet(out).collect()}
     assert got == {("p1", 1), ("p2", 99)}
+
+
+def test_stream_ingest_partitions(spark, tmp_path):
+    """Streaming face of the replace-partition store: file-source stream ->
+    foreachBatch -> write_replace_partitions + manifest, idempotent across
+    a second availableNow pass over the same files."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from geoglue_spark.streaming.incremental import (
+        CheckpointManifest,
+        stream_ingest_partitions,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2019-0{1 + i % 2}-15 00:00:00", "value": float(i)}
+        for i in range(20)
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows[:10]))
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in rows[10:]))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts string, value double")
+        .json(str(src))
+    )
+    out = str(tmp_path / "out")
+    manifest = CheckpointManifest(str(tmp_path / "manifest"))
+    q = stream_ingest_partitions(
+        stream, out, manifest,
+        F.date_format(F.to_timestamp("ts"), "yyyy-MM"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        lineage="src=test",
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 20
+    parts = {r.part for r in got.select("part").distinct().collect()}
+    assert parts == {"2019-01", "2019-02"}
+    assert manifest.committed(spark) == {"2019-01", "2019-02"}
+    # re-running over the same source (fresh checkpoint = redelivery) must
+    # REPLACE partitions, not duplicate rows
+    q2 = stream_ingest_partitions(
+        stream, out, manifest,
+        F.date_format(F.to_timestamp("ts"), "yyyy-MM"),
+        checkpoint_path=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 20

@@ -87,3 +87,41 @@ def test_coverage_monotone_in_supersample_error(seed, k):
     lo = coverage_fractions(*args, supersample=4 * k)
     hi = coverage_fractions(*args, supersample=32)
     assert abs(lo[0] - hi[0]) <= 0.5 / k  # O(perimeter/n) bound, loose
+
+
+# ---- pigeonhole banding property (pure Python, no Spark) ---------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _sig_pair(draw):
+    sig_bits = draw(st.sampled_from([60, 64]))
+    h = draw(st.integers(0, 12))
+    base = draw(st.integers(0, (1 << sig_bits) - 1))
+    n_flips = draw(st.integers(0, h))
+    flip_bits = draw(
+        st.lists(st.integers(0, sig_bits - 1), min_size=n_flips, max_size=n_flips, unique=True)
+    )
+    other = base
+    for b in flip_bits:
+        other ^= 1 << b
+    return sig_bits, h, base, other
+
+
+@given(_sig_pair())
+@settings(max_examples=300, deadline=None)
+def test_band_layout_pigeonhole_guarantee(case):
+    """Any pair within Hamming distance h MUST share at least one exact
+    band when n_bands = h + 1 — the property phash_near_dupes' candidate
+    generation relies on for 100% recall."""
+    from geoglue_spark.operators.dedup import _band_layout
+
+    sig_bits, h, a, b = case
+    layout = _band_layout(sig_bits, h + 1)
+    assert sum(w for _, w in layout) == sig_bits  # bands tile the signature
+    shared = any(
+        ((a >> start) & ((1 << width) - 1)) == ((b >> start) & ((1 << width) - 1))
+        for start, width in layout
+    )
+    assert shared
