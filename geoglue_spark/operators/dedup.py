@@ -367,7 +367,13 @@ def simhash_near_dupes(
 ) -> DataFrame:
     """SimHash near-dup pairs: JVM signature, then the same pigeonhole-exact
     band-join + JVM bit_count verification as phash (60-bit signatures)."""
-    sigs = simhash_signatures(df, text_col, id_col).withColumnRenamed("_id", id_col)
+    # cache: the band join self-joins this frame — without it the whole
+    # explode+aggregate signature pipeline would execute twice
+    sigs = (
+        simhash_signatures(df, text_col, id_col)
+        .withColumnRenamed("_id", id_col)
+        .cache()
+    )
     return phash_near_dupes(sigs, "phash", id_col, max_hamming, sig_bits=SIMHASH_BITS)
 
 
