@@ -130,6 +130,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "embedding_near_dupes",
         "raster_zonal_weighted_mean",
         "daily_stats_registry",
+        "winnow_fingerprint_stats",
     ]
     qs = Q.queries()
     times: dict[str, float] = {}

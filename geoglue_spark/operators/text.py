@@ -57,6 +57,80 @@ def fingerprint_col(text: Column) -> Column:
     return F.xxhash64(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
+def winnow_fingerprints_col(
+    text: Column, shingle_k: int = 5, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (rolling-hash selection, Schleimer
+    et al., SIGMOD 2003): hash every word ``shingle_k``-gram, slide a
+    ``window`` over the hash sequence, keep each window's minimum — the
+    selected-value set is guaranteed to overlap between documents sharing
+    long-enough substrings. Pure Column expression (md5-based shingle keys
+    shared with MinHash, so the DuckDB oracle reproduces it exactly);
+    output sorted-distinct array<long>.
+
+    CSE WARNING: Catalyst does not common-subexpression-eliminate inside
+    higher-order-function lambdas, so the key array recomputes every md5
+    once PER WINDOW here. Use :func:`winnow_fingerprints` (which
+    materializes the key array in a projection first) on anything bigger
+    than a handful of rows."""
+    from .dedup import shingle_key_col, word_shingles_col
+
+    keys = F.transform(word_shingles_col(text, shingle_k), shingle_key_col)
+    return _winnow_over_keys(keys, window)
+
+
+def _winnow_over_keys(keys: Column, window: int) -> Column:
+    n = F.size(keys)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), n - F.lit(window - 1)))
+    mins = F.transform(idx, lambda i: F.array_min(F.slice(keys, i, window)))
+    return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    window: int = 4,
+    out_col: str = "fingerprints",
+) -> DataFrame:
+    """Winnowing fingerprints as a DataFrame op, scale-shaped: shingle keys
+    posexplode to rows (md5 evaluated ONCE per shingle, whole-stage
+    codegen), a bounded window computes each sliding minimum, collect_set
+    re-assembles the per-document fingerprint set. Output:
+    (id_col, out_col sorted-distinct array<long>).
+
+    The single-expression :func:`winnow_fingerprints_col` is semantically
+    identical but Catalyst's project-collapsing inlines the key array into
+    the per-window lambda and re-hashes every shingle per window (~20x
+    slower measured) — use this form on real tables."""
+    from pyspark.sql import Window as W
+
+    from .dedup import shingle_key_col, word_shingles_col
+
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(word_shingles_col(F.col(text_col), shingle_k)).alias(
+            "_pos", "_g"
+        ),
+    ).select(id_col, "_pos", shingle_key_col(F.col("_g")).alias("_x"))
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    wn = W.partitionBy(id_col)
+    mins = (
+        ex.withColumn("_wmin", F.min("_x").over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        # valid window starts only (a short doc keeps its whole-array min)
+        .filter(F.col("_pos") <= F.greatest(F.lit(0), F.col("_n") - window))
+    )
+    return mins.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("_wmin")).alias(out_col)
+    )
+
+
 def lang_id_udf():
     """Heuristic language ID: argmax of stopword-hit fractions; 'und' when
     nothing matches. Vectorized per Arrow batch."""

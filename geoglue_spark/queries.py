@@ -889,6 +889,60 @@ FROM vals GROUP BY 1
 """
 
 
+_WF_K, _WF_W = 5, 4
+
+
+def q_winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints per document, summarized per
+    source: docs, mean fingerprints/doc, distinct fingerprints."""
+    from .operators.text import winnow_fingerprints
+
+    docs = _table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, "text", "doc_id", _WF_K, _WF_W, out_col="_fp")
+    joined = fp.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        joined.select("source", F.explode("_fp").alias("_f"))
+        .groupBy("source")
+        .agg(
+            F.count_distinct("_f").alias("n_distinct_fp"),
+            F.round(F.sum(F.lit(1.0)) / F.count_distinct("_f"), 6).alias(
+                "fp_reuse_ratio"
+            ),
+        )
+    )
+
+
+SQL_WINNOW_FINGERPRINT_STATS = f"""
+WITH t AS (
+  SELECT source, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+g AS (
+  SELECT source,
+         CASE WHEN len(toks) < {_WF_K} THEN [array_to_string(toks, ' ')]
+              ELSE [array_to_string(toks[i:i+{_WF_K - 1}], ' ')
+                    FOR i IN range(1, len(toks) - {_WF_K - 2})]
+         END AS grams
+  FROM t
+),
+x AS (
+  SELECT source,
+         [('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 FOR g IN grams] AS xs
+  FROM g
+),
+w AS (
+  SELECT source,
+         list_distinct([list_min(xs[i:i+{_WF_W - 1}])
+                        FOR i IN range(1, greatest(2, len(xs) - {_WF_W - 2}))]) AS fp
+  FROM x
+),
+e AS (SELECT source, unnest(fp) AS f FROM w)
+SELECT source,
+       count(DISTINCT f) AS n_distinct_fp,
+       round(count(*) * 1.0 / count(DISTINCT f), 6) AS fp_reuse_ratio
+FROM e GROUP BY 1
+"""
+
+
 def q_daily_stats_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 driven by the variable registry: ONE aggregation pass computes
     every daily statistic, the broadcast (var, stat) allow-table unpivots
@@ -1265,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": q_lang_id_counts,
         "daily_stats_registry": q_daily_stats_registry,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
+        "winnow_fingerprint_stats": q_winnow_fingerprint_stats,
     }
 
 
@@ -1306,6 +1361,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_counts": SQL_LANG_ID_COUNTS,
         "daily_stats_registry": SQL_DAILY_STATS_REGISTRY,
         "ngram_jaccard_verify": SQL_NGRAM_JACCARD_VERIFY,
+        "winnow_fingerprint_stats": SQL_WINNOW_FINGERPRINT_STATS,
         # image decode path: rows-only (binary codecs aren't SQL);
         # pytest carries its exact oracle (tests/test_images.py)
     }

@@ -295,3 +295,32 @@ def test_apply_daily_statistics_dispatch(spark):
         ("t2m", "daily_max"): 23.0,
         ("tp", "daily_sum"): 24.0,
     }
+
+
+def test_winnow_fingerprints_formulations_agree(spark):
+    """The explode+window winnowing pipeline must equal the single-Column
+    reference expression, and shared substrings must share fingerprints."""
+    from geoglue_spark.operators.text import winnow_fingerprints, winnow_fingerprints_col
+
+    common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"{common} lambda mu nu xi omicron pi rho sigma tau"),
+        (2, f"intro words here {common} and a different tail entirely now"),
+        (3, "short doc"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = {
+        r.doc_id: list(r.fp)
+        for r in docs.select(
+            "doc_id", winnow_fingerprints_col(F.col("text")).alias("fp")
+        ).collect()
+    }
+    got = {
+        r.doc_id: list(r.fingerprints)
+        for r in winnow_fingerprints(docs, "text", "doc_id").collect()
+    }
+    assert got == ref
+    # winnowing guarantee: documents sharing a long substring share >= 1 fp
+    assert set(got[1]) & set(got[2])
+    assert not (set(got[1]) & set(got[3]))
