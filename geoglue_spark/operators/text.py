@@ -52,6 +52,29 @@ def quality_score_col(text: Column, n_chars: Column | None = None) -> Column:
     return F.round(len_score * word_score, 6)
 
 
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}<>/\\|@#$%^&*_+=~`-]"
+
+
+def punct_ratio_col(text: Column) -> Column:
+    """Fraction of characters that are ASCII punctuation (quality signal)."""
+    n = F.length(text).cast("double")
+    stripped = F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    return F.when(n > 0, (n - stripped) / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio_col(text: Column, langs: tuple[str, ...] = ("en",)) -> Column:
+    """Fraction of whitespace tokens that are stopwords of the given
+    languages — pure JVM array math (split -> filter -> size)."""
+    words = sorted(set().union(*(STOPWORDS[l] for l in langs)))
+    trimmed = F.trim(F.lower(text))
+    toks = F.split(trimmed, r"\s+")
+    # filter (not array_intersect): repeated stopword tokens must all count
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return F.when(
+        trimmed == "", F.lit(0.0)
+    ).otherwise(hits.cast("double") / F.size(toks))
+
+
 def fingerprint_col(text: Column) -> Column:
     """64-bit content fingerprint of normalized text (xxhash, JVM-side)."""
     return F.xxhash64(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))

@@ -889,6 +889,52 @@ FROM vals GROUP BY 1
 """
 
 
+def q_doc_quality_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-signal summary: punctuation-character ratio and
+    English-stopword token ratio (the length/punct/stopword trio of
+    training-data quality scoring), all JVM Column math."""
+    from .operators.text import punct_ratio_col, stopword_ratio_col
+
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("_p", punct_ratio_col(F.col("text")))
+        .withColumn("_s", stopword_ratio_col(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("_p"), 6).alias("avg_punct_ratio"),
+            F.round(F.avg("_s"), 6).alias("avg_stopword_ratio"),
+        )
+    )
+
+
+def _sql_doc_quality_detail() -> str:
+    words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS["en"]))
+    return rf"""
+WITH t AS (
+  SELECT lang, text,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text,
+                    '[.,;:!?''"()\[\]{{}}<>/\\|@#$%^&*_+=~`-]', '', 'g')))
+                   * 1.0 / length(text)
+              ELSE 0.0 END AS p,
+         CASE WHEN trim(lower(text)) = '' THEN 0.0
+              ELSE len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                   x -> list_contains([{words}], x)))
+                   * 1.0 / len(string_split_regex(trim(lower(text)), '\s+'))
+         END AS s
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(p), 6) AS avg_punct_ratio,
+       round(avg(s), 6) AS avg_stopword_ratio
+FROM t GROUP BY 1
+"""
+
+
+SQL_DOC_QUALITY_DETAIL = _sql_doc_quality_detail()
+
+
 _WF_K, _WF_W = 5, 4
 
 
@@ -1320,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_stats_registry": q_daily_stats_registry,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
         "winnow_fingerprint_stats": q_winnow_fingerprint_stats,
+        "doc_quality_detail": q_doc_quality_detail,
     }
 
 
@@ -1362,6 +1409,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_stats_registry": SQL_DAILY_STATS_REGISTRY,
         "ngram_jaccard_verify": SQL_NGRAM_JACCARD_VERIFY,
         "winnow_fingerprint_stats": SQL_WINNOW_FINGERPRINT_STATS,
+        "doc_quality_detail": SQL_DOC_QUALITY_DETAIL,
         # image decode path: rows-only (binary codecs aren't SQL);
         # pytest carries its exact oracle (tests/test_images.py)
     }

@@ -324,3 +324,19 @@ def test_winnow_fingerprints_formulations_agree(spark):
     # winnowing guarantee: documents sharing a long substring share >= 1 fp
     assert set(got[1]) & set(got[2])
     assert not (set(got[1]) & set(got[3]))
+
+
+def test_punct_and_stopword_ratios(spark):
+    from geoglue_spark.operators.text import punct_ratio_col, stopword_ratio_col
+
+    df = spark.createDataFrame(
+        [("the cat, the hat!!",), ("no stop words here",), ("",)], "text string"
+    )
+    rows = df.select(
+        punct_ratio_col(F.col("text")).alias("p"),
+        stopword_ratio_col(F.col("text")).alias("s"),
+    ).collect()
+    # "the cat, the hat!!": 3 punct chars of 18; stopword 'the' twice of 4 tokens
+    assert abs(rows[0].p - 3 / 18) < 1e-12
+    assert abs(rows[0].s - 2 / 4) < 1e-12
+    assert rows[1].s == 0.0 and rows[2].p == 0.0 and rows[2].s == 0.0
