@@ -133,11 +133,19 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "winnow_fingerprint_stats",
     ]
     qs = Q.queries()
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        _materialize(qs[name](spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            # fresh plan per rep (same plan object would reuse shuffle
+            # output); median damps this VM's hypervisor-steal spikes,
+            # which can inflate a single execution 3-10x
+            t0 = time.time()
+            _materialize(qs[name](spark, sf_dir))
+            samples.append(time.time() - t0)
+        samples.sort()
+        times[name] = round(samples[len(samples) // 2], 3)
     return times
 
 
