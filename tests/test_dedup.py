@@ -161,3 +161,21 @@ def test_signature_paths_agree(spark, docs):
     for d, (m, s) in ref.items():
         assert mh[d] == m, d
         assert sh[d] == s, d
+
+
+def test_signature_snapshot_regression(spark):
+    """Hard-coded signature values pin the hash family across refactors:
+    any change to shingle hashing, the universal-hash params, or the
+    simhash bit definition must show up here deliberately."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    r = df.select(
+        D.minhash_sig_col(F.col("text")).alias("mh"),
+        D.simhash_col(F.col("text")).alias("sh"),
+    ).collect()[0]
+    assert list(r.mh[:8]) == [
+        306199603, 774871266, 23279299, 140497868,
+        1351162036, 401762940, 137147622, 290966488,
+    ]
+    assert r.sh == 411798662883495910

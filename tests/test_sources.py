@@ -173,3 +173,40 @@ def test_file_loaded_polygons_end_to_end_assignment(spark, geojson_path):
     )
     got = {r.pid: r.admin_id for r in assign_admin(pts, cover, wkb, grid).collect()}
     assert got == {1: "A.1", 2: "A.2", 3: "A.3"}  # 4 in the hole, 5 outside
+
+
+def test_shapefile_rejects_bad_magic_and_point_shapes(spark, tmp_path):
+    import struct as _struct
+
+    bad = tmp_path / "bad.shp"
+    bad.write_bytes(b"\x00" * 100)
+    with pytest.raises(ValueError, match="not a shapefile"):
+        read_shapefile(spark, str(bad), "GID_2")
+
+    # a Point (type 1) record must be rejected, not silently mangled
+    content = _struct.pack("<i", 1) + _struct.pack("<2d", 1.0, 2.0)
+    body = _struct.pack(">ii", 1, len(content) // 2) + content
+    header = _struct.pack(">i", 9994) + b"\x00" * 20 + _struct.pack(
+        ">i", (100 + len(body)) // 2
+    ) + _struct.pack("<ii", 1000, 1) + b"\x00" * 64
+    pt = tmp_path / "pt.shp"
+    pt.write_bytes(header + body)
+    with pytest.raises(ValueError, match="polygons only"):
+        read_shapefile(spark, str(pt), "GID_2", dbf_path=str(pt))
+
+
+def test_geojson_rejects_non_polygon(spark, tmp_path):
+    doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"GID_2": "X"},
+                "geometry": {"type": "LineString", "coordinates": [[0, 0], [1, 1]]},
+            }
+        ],
+    }
+    p = tmp_path / "line.geojson"
+    p.write_text(json.dumps(doc))
+    with pytest.raises(ValueError, match="polygons only"):
+        read_geojson(spark, str(p), "GID_2")
