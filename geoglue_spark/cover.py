@@ -124,9 +124,12 @@ def build_cover(
     """Distributed cover build: one task per admin polygon.
 
     At GADM-2 world scale (~47k polygons) this is a 47k-task embarrassing
-    parallelism; the output (~10^6-10^7 rows) is still broadcastable after
-    the interior-run compaction below. Collected once, broadcast to all
-    executors for the map-side phase of J1.
+    parallelism. The raw output has one row per covered CELL; on fine grids
+    the interior rows dominate (world land at 0.01 degrees is ~10^8 cells —
+    too big to broadcast), so pass the result through
+    :func:`compact_cover`, which absorbs fully-interior blocks of
+    (2^shift)^2 cells into single block rows (~B^2x fewer interior rows),
+    and join with :func:`operators.assign.assign_admin` ``blocks=``.
     """
 
     def _one(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -144,6 +147,58 @@ def build_cover(
         .groupBy(id_col)
         .applyInPandas(lambda _, pdf: _one(pdf), COVER_SCHEMA)
     )
+
+
+def block_id_col(cell_id, grid: Grid, block_shift: int):
+    """Coarse block id for a cell id: blocks tile the grid in
+    (2^block_shift)^2-cell squares."""
+    b = 1 << block_shift
+    nbx = (grid.nx + b - 1) // b
+    ix = cell_id % F.lit(int(grid.nx))
+    iy = (cell_id / F.lit(int(grid.nx))).cast("long")
+    return F.shiftright(iy, block_shift) * F.lit(nbx) + F.shiftright(ix, block_shift)
+
+
+def compact_cover(
+    cover: DataFrame, grid: Grid, block_shift: int = 4
+) -> tuple[DataFrame, DataFrame]:
+    """Split a cell cover into (cells, blocks): blocks are
+    (2^block_shift)^2-cell squares ENTIRELY interior to one admin, emitted
+    as single rows; their member cells drop from the cell table. This is
+    what keeps a fine-grid world cover broadcastable — interior area
+    compresses ~B^2x while boundary cells (which genuinely need per-cell
+    resolution) stay as-is.
+
+    Assumes admins tessellate (no polygon overlap), like GADM: a block
+    fully interior to A cannot contain cells of B. Partial blocks at the
+    grid edge are never absorbed (the expected-cell count accounts for
+    clipping)."""
+    b = 1 << block_shift
+    nbx = (grid.nx + b - 1) // b
+    with_block = cover.withColumn(
+        "_block_id", block_id_col(F.col("cell_id"), grid, block_shift)
+    )
+    bx = F.col("_block_id") % F.lit(nbx)
+    by = (F.col("_block_id") / F.lit(nbx)).cast("long")
+    expected = F.least(
+        F.lit(b), F.lit(int(grid.nx)) - bx * F.lit(b)
+    ) * F.least(F.lit(b), F.lit(int(grid.ny)) - by * F.lit(b))
+    full_blocks = (
+        with_block.filter(F.col("interior"))
+        .groupBy("admin_id", "_block_id")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") == expected)
+        .select(F.col("_block_id").alias("block_id"), "admin_id")
+    )
+    cells = (
+        with_block.join(
+            full_blocks.withColumnRenamed("block_id", "_block_id"),
+            ["admin_id", "_block_id"],
+            "left_anti",
+        )
+        .drop("_block_id")
+    )
+    return cells, full_blocks
 
 
 def cover_stats(cover: DataFrame) -> DataFrame:

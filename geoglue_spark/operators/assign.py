@@ -117,6 +117,8 @@ def assign_admin(
     lon_col: str = "lon",
     lat_col: str = "lat",
     unique_on: str | None = None,
+    blocks: DataFrame | None = None,
+    block_shift: int = 4,
 ) -> DataFrame:
     """Assign each point row to the admin polygon containing it.
 
@@ -128,6 +130,14 @@ def assign_admin(
     admin_id — deterministic across parallelism levels. Costs one extra
     shuffle, so leave None for continuous coordinates.
 
+    ``blocks``: optional compacted interior-block table from
+    :func:`cover.compact_cover` (same ``block_shift``). The join becomes
+    two-level — cell-level broadcast join for boundary/residual cells plus
+    a block-level broadcast join for compacted interiors — which keeps the
+    broadcast small on fine grids (interior rows compress ~(2^shift)^2x).
+    Still ONE scan and zero shuffles; block hits are interior by
+    construction so they skip the ray-cast entirely.
+
     Single-pass plan (scan -> BHJ -> one Arrow filter -> done): the source
     is scanned exactly ONCE (a unioned interior/boundary split would read a
     100 TB fact table twice), and the Arrow boundary carries only
@@ -135,11 +145,37 @@ def assign_admin(
     """
     spark = points.sparkSession
     pts = with_cell_id(points, grid, lon_col, lat_col)
-    cov = F.broadcast(cover.select("cell_id", "admin_id", "interior"))
-    cand = pts.join(cov, "cell_id", "inner")
-
-    keep_udf = make_keep_udf(spark, admin_wkb)
     out_cols = [c for c in points.columns] + ["admin_id"]
+    keep_udf = make_keep_udf(spark, admin_wkb)
+
+    if blocks is None:
+        cov = F.broadcast(cover.select("cell_id", "admin_id", "interior"))
+        cand = pts.join(cov, "cell_id", "inner")
+    else:
+        from ..cover import block_id_col
+
+        cov = F.broadcast(cover.select("cell_id", "admin_id", "interior"))
+        blk = F.broadcast(
+            blocks.select(
+                "block_id", F.col("admin_id").alias("_block_admin")
+            )
+        )
+        pts = pts.withColumn(
+            "block_id", block_id_col(F.col("cell_id"), grid, block_shift)
+        )
+        # tessellation assumption (compact_cover): a point matches a cell
+        # row XOR a block row, never both — coalesce is exact
+        cand = (
+            pts.join(cov, "cell_id", "left")
+            .join(blk, "block_id", "left")
+            .filter(F.col("admin_id").isNotNull() | F.col("_block_admin").isNotNull())
+            .withColumn("admin_id", F.coalesce("admin_id", "_block_admin"))
+            .withColumn(
+                "interior",
+                F.coalesce("interior", F.col("_block_admin").isNotNull()),
+            )
+        )
+
     assigned = cand.filter(
         keep_udf(F.col("admin_id"), F.col("interior"), F.col(lon_col), F.col(lat_col))
     ).select(*out_cols)

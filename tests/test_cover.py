@@ -88,3 +88,54 @@ def test_cover_stats(spark):
     stats = cover_stats(build_cover(admins, grid, supersample=4)).collect()
     for r in stats:
         assert r.n_cells > 0 and 0 <= r.n_boundary <= r.n_cells
+
+
+def test_compact_cover_blocked_assignment_identical(spark):
+    """Block compaction must (a) shrink the broadcastable cover
+    substantially and (b) leave assignment output IDENTICAL row-for-row."""
+    import pandas as pd
+
+    from geoglue_spark.cover import build_cover, compact_cover
+    from geoglue_spark.grids import Grid
+    from geoglue_spark.operators.assign import assign_admin
+    from geoglue_spark.synth import admins_df
+
+    grid = Grid(x0=100.0, dx=0.05, nx=200, y0=10.0, dy=0.05, ny=200)
+    admins = admins_df(spark)
+    cover = build_cover(admins, grid, supersample=8).cache()
+    n_cover = cover.count()
+    cells, blocks = compact_cover(cover, grid, block_shift=3)
+    cells = cells.cache()
+    blocks = blocks.cache()
+    n_compact = cells.count() + blocks.count()
+    # these 20x20-cell toy admins only fit ~1 aligned 8x8 block each; real
+    # continental interiors compress ~(2^shift)^2x
+    assert n_compact < n_cover * 0.7, (n_cover, n_compact)
+    # sanity: total represented cells unchanged (64 cells per block here)
+    ncells = cells.count() + blocks.count() * 64
+    assert ncells == n_cover
+
+    wkb = {r.admin_id: bytes(r.geometry) for r in admins.collect()}
+    n = 4000
+    i = pd.Series(range(n))
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": i,
+                "lon": 100.0 + (i * 7919 % 9973) / 9973.0 * 10.0,
+                "lat": 10.0 + (i * 6007 % 9973) / 9973.0 * 10.0,
+            }
+        )
+    )
+    plain = assign_admin(pts, cover, wkb, grid).orderBy("pid").collect()
+    blocked_df = assign_admin(
+        pts, cells, wkb, grid, blocks=blocks, block_shift=3
+    )
+    blocked = blocked_df.orderBy("pid").collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in blocked]
+    plan = blocked_df._jdf.queryExecution().executedPlan().toString()
+    # both cover levels join broadcast (the extra BHJs in the plan text are
+    # compact_cover's own metadata-scale lineage); the fact side never
+    # sort-merge-joins
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
