@@ -83,18 +83,27 @@ def build_cover_local(
     iy1 = int(grid.iy(np.nextafter(bbox.maxy, -np.inf)))
 
     bcells = _boundary_cells(geom, grid)
+    # NOTE: row-aligned with bcells (coverage indexing below) — do not sort
     bset_ids = bcells[:, 1] * np.int64(grid.nx) + bcells[:, 0]
 
     # candidate interior cells: bbox cells minus boundary cells, kept when
     # the center is inside (no edge crosses them, so the center decides).
+    # Processed in latitude SLABS so a continental polygon on a fine grid
+    # (10^7-10^8 bbox cells) never materializes the whole meshgrid in one
+    # task — peak memory is O(nx * slab) regardless of polygon size.
     ixs = np.arange(ix0, ix1 + 1, dtype=np.int64)
-    iys = np.arange(iy0, iy1 + 1, dtype=np.int64)
-    mx, my = np.meshgrid(ixs, iys)
-    all_ids = my.ravel() * np.int64(grid.nx) + mx.ravel()
-    non_boundary = ~np.isin(all_ids, bset_ids)
-    cxs, cys = grid.centers(mx.ravel()[non_boundary], my.ravel()[non_boundary])
-    interior_mask = points_in_geom(cxs, cys, prep)
-    interior_ids = all_ids[non_boundary][interior_mask]
+    slab = max(1, (1 << 22) // max(len(ixs), 1))  # ~4M cells per slab
+    interior_chunks = []
+    for iy_lo in range(iy0, iy1 + 1, slab):
+        iys = np.arange(iy_lo, min(iy_lo + slab, iy1 + 1), dtype=np.int64)
+        mx, my = np.meshgrid(ixs, iys)
+        ids = my.ravel() * np.int64(grid.nx) + mx.ravel()
+        non_boundary = ~np.isin(ids, bset_ids, assume_unique=False)
+        cxs, cys = grid.centers(mx.ravel()[non_boundary], my.ravel()[non_boundary])
+        interior_chunks.append(ids[non_boundary][points_in_geom(cxs, cys, prep)])
+    interior_ids = (
+        np.concatenate(interior_chunks) if interior_chunks else np.empty(0, np.int64)
+    )
 
     if compute_coverage and len(bcells):
         bminx, bminy, bmaxx, bmaxy = grid.cell_bounds(bcells[:, 0], bcells[:, 1])
