@@ -104,3 +104,49 @@ def test_ann_index_at_rest_partition_pruned(spark, tmp_path):
 
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [_sig#" in plan and "INSET" in plan
+
+
+def test_ivf_index_recall_and_pruning(spark, tmp_path):
+    """IVF: partition-pruned probe scan; recall@5 vs exact brute force must
+    be high at nprobe=8/64 and exact at nprobe=n_clusters."""
+    from geoglue_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        cosine_topk_ivf,
+    )
+
+    # clustered data (IVF's regime; on isotropic-random vectors recall is
+    # necessarily ~nprobe/n_clusters — no index can beat that structure):
+    # 40 gaussian clusters of 25 points, queries drawn near cluster centers
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    centers = rng.standard_normal((40, 32)) * 4.0
+    rows = []
+    vid = 100
+    for ci, c in enumerate(centers):
+        for _ in range(25):
+            rows.append((vid, [float(x) for x in c + rng.standard_normal(32) * 0.3]))
+            vid += 1
+    cands = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = [
+        (int(i), [float(x) for x in centers[i] + rng.standard_normal(32) * 0.3])
+        for i in range(10)
+    ]
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(cands, path, n_clusters=64)
+    assert cents.shape == (64, 32)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(cands, qs, k=5).collect()
+    }
+    probed_df = cosine_topk_ivf(spark, path, cents, qs, k=5, nprobe=8)
+    probed = {(r.query_id, r.neighbor_id) for r in probed_df.collect()}
+    recall = len(exact & probed) / len(exact)
+    assert recall >= 0.8, recall
+    plan = probed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [_cluster#" in plan
+
+    full = cosine_topk_ivf(spark, path, cents, qs, k=5, nprobe=64)
+    assert {(r.query_id, r.neighbor_id) for r in full.collect()} == exact
