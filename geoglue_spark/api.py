@@ -1,0 +1,167 @@
+"""User-facing facade mirroring the reference's public entry points.
+
+A geoglue user drives: ``region = gadm(iso3)`` (polygon source),
+``zonalstats(rast, vec, ops, weights)`` (src/geoglue/zonalstats.py:71-100),
+``resample(infile, target, resampling)`` (resample.py:81-161) and the
+config-driven ``compute_config(cfg)`` (zonalstats.py:103-137). This module
+provides the Spark-first equivalents with the same semantics:
+
+* :func:`region_from_file` — polygon ingestion by extension (network
+  staging out of scope; point it at a staged GeoJSON/NDJSON/shapefile).
+* :func:`zonalstats` — exactextract-style operation STRINGS, including
+  the ``coverage_weight=area_spherical_km2`` parameterization the CLI
+  defaults to (reference cli.py:268-277).
+* :func:`resample` — kernel dispatch by name (remapbil/remapdis/sremapbil
+  aliases accepted).
+* :func:`compute_config` — run a ZonalJobConfig end-to-end and stamp its
+  logfmt lineage into the output (reproducible-by-string).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import ZonalJobConfig
+from .cover import build_cover
+from .grids import Grid, infer_grid
+from .operators.zonal import ZONAL_OPS, raster_zonal_stats
+
+_OP_RE = re.compile(r"^\s*(\w+)\s*(?:\(([^)]*)\))?\s*$")
+
+
+def parse_operations(ops: str) -> tuple[list[str], bool]:
+    """Parse an exactextract-style operation string (comma-separated names,
+    optional parenthesized params) into (op names, use_spherical_area).
+
+    ``coverage_weight=area_spherical_km2`` turns on spherical-area
+    weighting (the reference CLI default, cli.py:274); ``none``/``fraction``
+    turn it off; bare names mean plain coverage fractions.
+    """
+    names: list[str] = []
+    spherical = False
+    for piece in ops.split(","):
+        m = _OP_RE.match(piece)
+        if not m:
+            raise ValueError(f"unparseable operation {piece!r}")
+        name, params = m.group(1), m.group(2) or ""
+        if name not in ZONAL_OPS:
+            raise ValueError(f"unknown operation {name!r}; allowed: {ZONAL_OPS}")
+        names.append(name)
+        for kv in filter(None, (p.strip() for p in params.split(","))):
+            k, _, v = kv.partition("=")
+            if k.strip() == "coverage_weight":
+                if v.strip() == "area_spherical_km2":
+                    spherical = True
+                elif v.strip() in ("none", "fraction"):
+                    spherical = False
+                else:
+                    raise ValueError(f"unknown coverage_weight {v!r}")
+    return names, spherical
+
+
+def region_from_file(
+    spark: SparkSession, path: str, pk_field: str, name_field: str | None = None
+) -> DataFrame:
+    """Polygon source dispatch by extension — the staged-file analog of
+    gadm()/geoboundaries() (reference region.py:225-342)."""
+    from .sources import polygons as P
+
+    low = path.lower()
+    if low.endswith((".geojson", ".json")):
+        return P.read_geojson(spark, path, pk_field, name_field)
+    if low.endswith((".jsonl", ".ndjson", ".geojsonl")):
+        return P.read_geojsonl(spark, path, pk_field, name_field)
+    if low.endswith(".shp"):
+        return P.read_shapefile(spark, path, pk_field, name_field)
+    if low.endswith(".parquet"):
+        return spark.read.parquet(path)
+    raise ValueError(f"unsupported polygon source {path!r}")
+
+
+def zonalstats(
+    pixels: DataFrame,
+    admins: DataFrame,
+    operation: str = "mean(coverage_weight=area_spherical_km2)",
+    weights: DataFrame | None = None,
+    grid: Grid | None = None,
+    by_dims: list[str] = ("time",),
+    value_col: str = "value",
+    supersample: int = 16,
+) -> DataFrame:
+    """One-call coverage-weighted zonal statistics: infer the grid from the
+    pixel table (griddes inference), build the cell cover distributed, run
+    the op string — the reference's zonalstats(rast, vec, ops, weights)."""
+    if grid is None:
+        grid = infer_grid(pixels)
+    ops, spherical = parse_operations(operation)
+    cover = build_cover(admins, grid, supersample=supersample)
+    dims = [d for d in by_dims if d in pixels.columns]
+    return raster_zonal_stats(
+        pixels,
+        cover,
+        grid,
+        value_col=value_col,
+        ops=ops,
+        by_dims=dims,
+        weights=weights,
+        use_spherical_area=spherical,
+    )
+
+
+_RESAMPLERS = {
+    "bilinear": "resample_bilinear",
+    "remapbil": "resample_bilinear",
+    "distance": "resample_distance",
+    "remapdis": "resample_distance",
+    "sparse_bilinear": "resample_sparse_bilinear",
+    "sremapbil": "resample_sparse_bilinear",
+}
+
+
+def resample(
+    pixels: DataFrame,
+    source: Grid,
+    target: Grid,
+    resampling: str = "bilinear",
+    **kwargs,
+) -> DataFrame:
+    """Kernel dispatch by reference name (resample.py:150-160 match arms)."""
+    from .operators import resample as R
+
+    try:
+        fn = getattr(R, _RESAMPLERS[resampling])
+    except KeyError:
+        raise ValueError(
+            f"unknown resampling {resampling!r}; allowed: {sorted(_RESAMPLERS)}"
+        ) from None
+    return fn(pixels, source, target, **kwargs)
+
+
+def compute_config(spark: SparkSession, cfg: ZonalJobConfig) -> str:
+    """Run one config end-to-end (reference compute_config,
+    zonalstats.py:103-137): read raster + admins, optionally read and
+    pre-resample the weights per cfg.resample, compute, write the output
+    parquet with the config's logfmt lineage stamped in a
+    ``geoglue_config`` column. Returns the output path."""
+    pixels = spark.read.parquet(cfg.raster)
+    admins = region_from_file(spark, cfg.admins, cfg.admins_pk)
+    if cfg.admins_pk in admins.columns and "admin_id" not in admins.columns:
+        admins = admins.withColumnRenamed(cfg.admins_pk, "admin_id")
+    grid = infer_grid(pixels)
+    weights = None
+    if cfg.weights:
+        weights = spark.read.parquet(cfg.weights)
+        if cfg.resample != "off":
+            wgrid = infer_grid(weights)
+            if not wgrid.approx_equal(grid):
+                weights = resample(
+                    weights, wgrid, grid, cfg.resample, value_col="weight"
+                )
+    out = zonalstats(pixels, admins, cfg.operation, weights=weights, grid=grid)
+    out.withColumn("geoglue_config", F.lit(cfg.lineage())).write.mode(
+        "overwrite"
+    ).parquet(cfg.output)
+    return cfg.output

@@ -1,0 +1,108 @@
+"""User-facing facade parity: op-string parsing, one-call zonalstats,
+config-driven compute with lineage round-trip (the path a geoglue user
+switching to this engine would take)."""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geoglue_spark.api import (
+    compute_config,
+    parse_operations,
+    region_from_file,
+    resample,
+    zonalstats,
+)
+from geoglue_spark.config import ZonalJobConfig, read_job_configs
+from geoglue_spark.grids import Grid
+
+
+def test_parse_operations():
+    assert parse_operations("mean") == (["mean"], False)
+    assert parse_operations("mean(coverage_weight=area_spherical_km2)") == (
+        ["mean"],
+        True,
+    )
+    assert parse_operations("count, weighted_mean(coverage_weight=none)") == (
+        ["count", "weighted_mean"],
+        False,
+    )
+    with pytest.raises(ValueError, match="unknown operation"):
+        parse_operations("median")
+    with pytest.raises(ValueError, match="coverage_weight"):
+        parse_operations("mean(coverage_weight=pixels)")
+
+
+def _toy_pixels(spark, value=2.0):
+    rows = []
+    for iy in range(8):
+        for ix in range(8):
+            rows.append((0.125 + ix * 0.25, 0.125 + iy * 0.25, float(value)))
+    return spark.createDataFrame(rows, "lon double, lat double, value double")
+
+
+def _toy_admins_file(tmp_path):
+    feats = [
+        {
+            "type": "Feature",
+            "properties": {"GID_2": f"R{i}"},
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [
+                    [[i, 0], [i + 1, 0], [i + 1, 2], [i, 2], [i, 0]]
+                ],
+            },
+        }
+        for i in range(2)
+    ]
+    p = tmp_path / "admins.geojson"
+    p.write_text(json.dumps({"type": "FeatureCollection", "features": feats}))
+    return str(p)
+
+
+def test_zonalstats_one_call_constant_field(spark, tmp_path):
+    """mean of a constant field is that constant under ANY weighting —
+    the reference's sanity invariant — and count = coverage-weight sum."""
+    admins = region_from_file(spark, _toy_admins_file(tmp_path), "GID_2")
+    out = zonalstats(
+        _toy_pixels(spark), admins, "count, mean(coverage_weight=area_spherical_km2)",
+        supersample=8,
+    ).collect()
+    assert {r.admin_id for r in out} == {"R0", "R1"}
+    for r in out:
+        np.testing.assert_allclose(r["mean"], 2.0, rtol=1e-12)
+        assert r["count"] > 0
+
+
+def test_compute_config_end_to_end_with_lineage(spark, tmp_path):
+    raster_path = str(tmp_path / "raster.parquet")
+    _toy_pixels(spark).write.parquet(raster_path)
+    cfg = ZonalJobConfig(
+        raster=raster_path,
+        admins=_toy_admins_file(tmp_path),
+        admins_pk="GID_2",
+        output=str(tmp_path / "out.parquet"),
+        operation="mean(coverage_weight=area_spherical_km2)",
+    )
+    out_path = compute_config(spark, cfg)
+    got = spark.read.parquet(out_path)
+    rows = got.collect()
+    assert {r.admin_id for r in rows} == {"R0", "R1"}
+    # lineage stamped and parseable back into the SAME config
+    lineage = rows[0].geoglue_config
+    assert read_job_configs(lineage) == [cfg]
+
+
+def test_resample_dispatch_aliases(spark):
+    src = Grid(x0=0.0, dx=0.25, nx=8, y0=0.0, dy=0.25, ny=8)
+    tgt = Grid(x0=0.25, dx=0.125, nx=8, y0=0.25, dy=0.125, ny=8)
+    px = _toy_pixels(spark)
+    a = resample(px, src, tgt, "remapbil").collect()
+    b = resample(px, src, tgt, "bilinear").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        np.testing.assert_allclose(r.value, 2.0, rtol=1e-12)
+    with pytest.raises(ValueError, match="unknown resampling"):
+        resample(px, src, tgt, "cubic")
