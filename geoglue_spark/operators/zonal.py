@@ -153,8 +153,17 @@ def raster_zonal_stats(
     lat_col: str = "lat",
     use_spherical_area: bool = True,
     check_extent: bool = True,
+    blocks: DataFrame | None = None,
+    block_shift: int = 4,
 ) -> DataFrame:
     """Coverage-weighted zonal statistics over a long-form raster.
+
+    ``blocks``: optional compacted interior-block table from
+    ``cover.compact_cover`` (same ``block_shift``); pixels then join the
+    cell-level cover AND the block table (both broadcast, coverage 1.0 for
+    block hits, spherical area still computed from the pixel's own cell) —
+    output-identical to the flat cover while keeping fine-grid world
+    covers broadcastable.
 
     The Spark restatement of ``zonalstats(rast, vec, ops, weights)``
     (reference src/geoglue/zonalstats.py:71-100): pixels equi-join the
@@ -184,7 +193,22 @@ def raster_zonal_stats(
             )
     px = pixels.withColumn("cell_id", grid.cell_id_col(F.col(lon_col), F.col(lat_col)))
     cov = F.broadcast(cover.select("cell_id", "admin_id", "coverage"))
-    joined = px.join(cov, "cell_id", "inner")
+    if blocks is None:
+        joined = px.join(cov, "cell_id", "inner")
+    else:
+        from ..cover import block_id_col
+
+        blk = F.broadcast(
+            blocks.select("block_id", F.col("admin_id").alias("_block_admin"))
+        )
+        joined = (
+            px.withColumn("block_id", block_id_col(F.col("cell_id"), grid, block_shift))
+            .join(cov, "cell_id", "left")
+            .join(blk, "block_id", "left")
+            .filter(F.col("admin_id").isNotNull() | F.col("_block_admin").isNotNull())
+            .withColumn("admin_id", F.coalesce("admin_id", "_block_admin"))
+            .withColumn("coverage", F.coalesce("coverage", F.lit(1.0)))
+        )
 
     # exactextract's two weights: the coverage weight (coverage fraction x
     # spherical area, used by count/sum/mean and the area_weighted_sum

@@ -204,3 +204,29 @@ def test_weighted_mean_null_guard_point_path(spark):
     np.testing.assert_allclose(got.weighted_mean, (10.0 * 2 + 20.0 * 2) / 4.0)
     salted = zonal_stats(df, "value", ["weighted_mean"], weight_col="w", salt=4).collect()[0]
     np.testing.assert_allclose(salted.weighted_mean, (10.0 * 2 + 20.0 * 2) / 4.0)
+
+
+def test_raster_zonal_with_compacted_cover_identical(spark, setup):
+    """The two-level (cells + interior blocks) zonal join must equal the
+    flat-cover results exactly."""
+    from geoglue_spark.cover import compact_cover
+
+    admins, cover, pixels = setup
+    cells, blocks = compact_cover(cover, GRID, block_shift=2)
+    flat = {
+        (r.admin_id,): (r["count"], r.weighted_mean)
+        for r in raster_zonal_stats(
+            pixels, cover, GRID, ops=["count", "weighted_mean"]
+        ).collect()
+    }
+    blocked = {
+        (r.admin_id,): (r["count"], r.weighted_mean)
+        for r in raster_zonal_stats(
+            pixels, cells, GRID, ops=["count", "weighted_mean"],
+            blocks=blocks, block_shift=2,
+        ).collect()
+    }
+    assert set(flat) == set(blocked)
+    for k in flat:
+        np.testing.assert_allclose(blocked[k][0], flat[k][0], rtol=1e-12)
+        np.testing.assert_allclose(blocked[k][1], flat[k][1], rtol=1e-12)
