@@ -69,6 +69,104 @@ class ZonalJobConfig:
         )
 
 
+@dataclass(frozen=True)
+class ValidationSpec:
+    """Per-variable validation thresholds (reference VariableSpec,
+    config.py:25-38): allowed value range + maximum NA fraction. ``apply``
+    runs the checks as ONE metadata-scale aggregation via
+    operators.validate.check_value_range."""
+
+    min: float | None = 0.0
+    max: float | None = None
+    max_na_frac: float = 0.0
+
+    def validate(self) -> None:
+        if self.min is not None and self.max is not None and self.min > self.max:
+            raise ValueError(f"min ({self.min}) > max ({self.max})")
+        if not 0.0 <= self.max_na_frac <= 1.0:
+            raise ValueError(
+                f"max_na_frac must be between 0 and 1 (got {self.max_na_frac})"
+            )
+
+    def apply(self, df, value_col: str = "value") -> None:
+        from .operators.validate import check_value_range
+
+        self.validate()
+        check_value_range(df, value_col, self.min, self.max, self.max_na_frac)
+
+
+@dataclass(frozen=True)
+class RegionSource:
+    """Polygon source + primary key, parseable from the reference's
+    '<path>::<pk>' string form (config.py:41-53)."""
+
+    file: str
+    pk: str
+
+    @staticmethod
+    def from_str(s: str) -> "RegionSource":
+        parts = s.split("::")
+        if len(parts) != 2:
+            raise ValueError(
+                "RegionSource.from_str takes '<polygon_path>::<pk_field>'"
+            )
+        return RegionSource(parts[0], parts[1])
+
+    def load(self, spark):
+        from .api import region_from_file
+
+        return region_from_file(spark, self.file, self.pk)
+
+
+@dataclass(frozen=True)
+class GlobalConfig:
+    """The geoglue-config.toml analog (reference GeoglueConfig,
+    config.py:56-117): operation ALIASES (short name -> exactextract op
+    string), named region sources, and path settings. ``check(spark)``
+    eagerly verifies every region file loads and carries its pk — the
+    reference validates at read time too."""
+
+    operation: dict[str, str] = None  # type: ignore[assignment]
+    region: dict[str, RegionSource] = None  # type: ignore[assignment]
+    paths: dict[str, str] = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        object.__setattr__(self, "operation", dict(self.operation or {}))
+        object.__setattr__(self, "region", dict(self.region or {}))
+        object.__setattr__(self, "paths", dict(self.paths or {}))
+
+    def resolve_operation(self, op: str) -> str:
+        """Alias lookup with passthrough (reference cli.py:278)."""
+        return self.operation.get(op, op)
+
+    @staticmethod
+    def from_toml(text: str) -> "GlobalConfig":
+        import os
+        import tomllib
+
+        doc = tomllib.loads(text)
+        region = {}
+        for name, spec in (doc.get("region") or {}).items():
+            if set(spec) != {"file", "pk"}:
+                raise KeyError(
+                    f"region {name!r} must have exactly 'file' and 'pk' keys"
+                )
+            region[name] = RegionSource(spec["file"], spec["pk"])
+        paths = {
+            k: os.path.expandvars(os.path.expanduser(v))
+            for k, v in (doc.get("paths") or {}).items()
+        }
+        return GlobalConfig(
+            operation=doc.get("operation") or {}, region=region, paths=paths
+        )
+
+    def check(self, spark) -> None:
+        for name, src in self.region.items():
+            df = src.load(spark)  # raises on missing file / pk / bad geometry
+            if df.limit(1).count() == 0:
+                raise ValueError(f"region {name!r}: {src.file} has no features")
+
+
 def read_job_configs(text: str) -> list[ZonalJobConfig]:
     """One config per non-empty line (reference read_zonalstats_config,
     config.py:199-206 — normalized to always return a list)."""

@@ -106,3 +106,47 @@ def test_resample_dispatch_aliases(spark):
         np.testing.assert_allclose(r.value, 2.0, rtol=1e-12)
     with pytest.raises(ValueError, match="unknown resampling"):
         resample(px, src, tgt, "cubic")
+
+
+def test_global_config_aliases_and_region_check(spark, tmp_path):
+    from geoglue_spark.config import GlobalConfig, RegionSource, ValidationSpec
+
+    admins_path = _toy_admins_file(tmp_path)
+    toml_text = f"""
+[operation]
+popmean = "weighted_mean(coverage_weight=area_spherical_km2)"
+
+[region.TOY2]
+file = "{admins_path}"
+pk = "GID_2"
+
+[paths]
+tmp = "~/scratch"
+"""
+    cfg = GlobalConfig.from_toml(toml_text)
+    assert cfg.resolve_operation("popmean").startswith("weighted_mean(")
+    assert cfg.resolve_operation("mean") == "mean"  # passthrough
+    assert cfg.region["TOY2"].pk == "GID_2"
+    assert "~" not in cfg.paths["tmp"]
+    cfg.check(spark)  # loads every region + pk discipline
+
+    assert RegionSource.from_str(f"{admins_path}::GID_2") == cfg.region["TOY2"]
+    with pytest.raises(ValueError, match="::"):
+        RegionSource.from_str("just-a-path")
+    with pytest.raises(KeyError, match="'file' and 'pk'"):
+        GlobalConfig.from_toml('[region.X]\nfile = "a.shp"\n')
+
+
+def test_validation_spec(spark):
+    from geoglue_spark.config import ValidationSpec
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (None,)], "value double")
+    ValidationSpec(min=0.0, max=5.0, max_na_frac=0.5).apply(df)
+    with pytest.raises(AssertionError, match="outside"):
+        ValidationSpec(min=1.5, max=5.0, max_na_frac=0.5).apply(df)
+    with pytest.raises(AssertionError, match="NA fraction"):
+        ValidationSpec(min=0.0, max=5.0, max_na_frac=0.1).apply(df)
+    with pytest.raises(ValueError, match="min"):
+        ValidationSpec(min=7.0, max=5.0).validate()
+    with pytest.raises(ValueError, match="max_na_frac"):
+        ValidationSpec(max_na_frac=1.5).validate()
