@@ -154,6 +154,58 @@ class Grid:
             * (F.sin(F.radians(y_top)) - F.sin(F.radians(y_bot)))
         )
 
+    # ---- CDO griddes text interchange -----------------------------------
+    @staticmethod
+    def from_griddes_text(text: str) -> "Grid":
+        """Parse a CDO griddes description (the reference's grid
+        interchange format, types.py:216-247: gridtype/xsize/xfirst/xinc
+        key = value lines, '#' comments). Only lonlat grids are accepted,
+        like the reference (resample.py:130-141). Negative yinc
+        (lat-descending storage) normalizes to the south-edge origin with
+        y_descending=True."""
+        kv: dict[str, str] = {}
+        for line in text.splitlines():
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            k, _, v = line.partition("=")
+            kv[k.strip()] = v.strip().strip('"')
+        if kv.get("gridtype") != "lonlat":
+            raise ValueError(
+                f"only lonlat grids supported, got gridtype={kv.get('gridtype')!r}"
+            )
+        return Grid.from_centers(
+            xfirst=float(kv["xfirst"]),
+            xinc=float(kv["xinc"]),
+            xsize=int(kv["xsize"]),
+            yfirst=float(kv["yfirst"]),
+            yinc=float(kv["yinc"]),
+            ysize=int(kv["ysize"]),
+        )
+
+    def to_griddes_text(self) -> str:
+        """Emit the CDO griddes description (center convention; respects
+        y_descending by emitting a negative yinc from the north edge)."""
+        yfirst = (
+            self.y0 + (self.ny - 0.5) * self.dy
+            if self.y_descending
+            else self.y0 + self.dy / 2.0
+        )
+        yinc = -self.dy if self.y_descending else self.dy
+        lines = [
+            "gridtype  = lonlat",
+            f"gridsize  = {self.nx * self.ny}",
+            f"xsize     = {self.nx}",
+            f"ysize     = {self.ny}",
+            "xname     = lon",
+            "yname     = lat",
+            f"xfirst    = {self.x0 + self.dx / 2.0}",
+            f"xinc      = {self.dx}",
+            f"yfirst    = {yfirst}",
+            f"yinc      = {yinc}",
+        ]
+        return "\n".join(lines)
+
     def bbox(self):
         """Edge-to-edge extent as a geometry.Bbox."""
         from .geometry import Bbox
