@@ -53,6 +53,8 @@ QUERY_GRID = Grid(x0=100.0, dx=0.05, nx=200, y0=10.0, dy=0.05, ny=200)
 # ---------------------------------------------------------------------------
 # shared session-scoped artifacts (cover table is built once per session)
 # ---------------------------------------------------------------------------
+# keyed by applicationId, NOT id(spark): Python id() values are reused
+# after garbage collection (same hazard as the executor-side prep cache)
 _CACHE: dict[str, object] = {}
 
 
@@ -77,7 +79,7 @@ def _pinned_cover(spark: SparkSession, admins, grid: Grid):
 
 
 def _engine(spark: SparkSession):
-    key = f"engine-{id(spark)}"
+    key = f"engine-{spark.sparkContext.applicationId}"
     if key not in _CACHE:
         admins = admins_df(spark)
         cover = _pinned_cover(spark, admins, QUERY_GRID)
@@ -90,7 +92,7 @@ def _engine(spark: SparkSession):
 def _engine_wiggly(spark: SparkSession):
     """Cover + polygons for the realistic-complexity (256-vertex) admin set
     — the scaling-bench workload where ray-cast compute dominates."""
-    key = f"wiggly-{id(spark)}"
+    key = f"wiggly-{spark.sparkContext.applicationId}"
     if key not in _CACHE:
         admins = admins_df(spark, wiggly=True)
         cover = _pinned_cover(spark, admins, QUERY_GRID)
@@ -812,7 +814,7 @@ SQL_RASTER_ZONAL_WEIGHTED_MEAN = _sql_raster_zonal_weighted_mean()
 
 
 def _engine_raster(spark: SparkSession, grid: Grid):
-    key = f"raster-{id(spark)}-{grid.nx}x{grid.ny}"
+    key = f"raster-{spark.sparkContext.applicationId}-{grid.nx}x{grid.ny}"
     if key not in _CACHE:
         admins = admins_df(spark)
         cover = build_cover(admins, grid, supersample=8).cache()
