@@ -12,9 +12,18 @@ Layout:
     cover       polygon -> cell cover (interior/boundary), broadcast structure
     synth       deterministic synthetic fixtures (admins, geocoded images)
     images      PNG/raw codecs, phash, PSNR (stdlib zlib + numpy only)
+    api         user-facing facade (region_from_file, zonalstats, resample,
+                compute_config) — start here when migrating from geoglue
+    config      job/global configuration + logfmt lineage round-trip
+    registry    variable registry (metrics.toml analog)
+    functions   scalar helpers (tz lookup, logfmt, zero-padded ranges)
+    sources/    polygon file ingestion (GeoJSON / NDJSON / shapefile)
     operators/  assign, zonal, timeagg, resample, merge, reshape, validate,
-                dedup, similarity, text
-    streaming/  incremental checkpoint/resume, windowed streaming aggs
+                dedup, similarity, text, multimodal, knn
+    streaming/  incremental checkpoint/resume, replace-partition commits,
+                windowed + stateful streaming aggs
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+__all__ = ["api", "config", "registry", "functions"]
