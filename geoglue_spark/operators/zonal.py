@@ -29,7 +29,11 @@ ZONAL_OPS = (
     "weighted_mean",
     "weighted_sum",
     "area_weighted_sum",
+    "median",
+    "quantile",  # parameterized: "quantile(0.9)"
 )
+
+_QUANTILE_RE = __import__("re").compile(r"^quantile\((0(\.\d+)?|1(\.0+)?)\)$")
 
 
 def _agg_exprs(
@@ -78,6 +82,13 @@ def _agg_exprs(
             exprs.append(F.min(value).alias("min"))
         elif op == "max":
             exprs.append(F.max(value).alias("max"))
+        elif op == "median":
+            # EXACT percentile — holistic: partials can't collapse map-side,
+            # so this is the op class the salt parameter exists for
+            exprs.append(F.percentile(value, F.lit(0.5)).alias("median"))
+        elif _QUANTILE_RE.match(op):
+            q = float(op[op.index("(") + 1 : -1])
+            exprs.append(F.percentile(value, F.lit(q)).alias(op))
         elif op == "weighted_sum":
             exprs.append(F.sum(value * weight).alias("weighted_sum"))
         elif op == "weighted_mean":
@@ -114,6 +125,14 @@ def zonal_stats(
     keys = [by] if isinstance(by, str) else list(by)
     value = F.col(value_col)
     weight = F.col(weight_col) if weight_col else F.lit(1.0)
+    holistic = [o for o in ops if o == "median" or o.startswith("quantile(")]
+    if salt is not None and holistic:
+        raise ValueError(
+            f"holistic ops {holistic} cannot run on the salted two-level "
+            "path (a percentile of per-salt percentiles is not the "
+            "percentile); use salt=None — exact percentiles shuffle whole "
+            "groups by design"
+        )
     if salt is None:
         return assigned.groupBy(*keys).agg(*_agg_exprs(value, weight, ops))
 

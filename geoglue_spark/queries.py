@@ -152,6 +152,28 @@ FROM points GROUP BY 1
 """
 
 
+def q_zonal_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holistic zonal aggregates: EXACT median/p90 per admin (the op class
+    where map-side partials cannot collapse — whole groups shuffle)."""
+    out = zonal_stats(
+        _assigned(spark, sf_dir), "value", ["median", "quantile(0.9)"]
+    )
+    return out.select(
+        "admin_id",
+        F.round("median", 6).alias("median_value"),
+        F.round("`quantile(0.9)`", 6).alias("p90_value"),
+    )
+
+
+SQL_ZONAL_VALUE_QUANTILES = f"""
+{_POINTS_CTE}
+SELECT {ADMIN_ID_SQL} AS admin_id,
+       round(quantile_cont(value, 0.5), 6) AS median_value,
+       round(quantile_cont(value, 0.9), 6) AS p90_value
+FROM points GROUP BY 1
+"""
+
+
 def q_admin1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, _, admin1 = _engine(spark)
     dim = F.broadcast(
@@ -1336,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "admin_assign_count": q_admin_assign_count,
         "zonal_value_stats": q_zonal_value_stats,
+        "zonal_value_quantiles": q_zonal_value_quantiles,
         "admin1_rollup": q_admin1_rollup,
         "hotspot_cells_topk": q_hotspot_cells_topk,
         "images_admin_count": q_images_admin_count,
@@ -1376,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "admin_assign_count": SQL_ADMIN_ASSIGN_COUNT,
         "zonal_value_stats": SQL_ZONAL_VALUE_STATS,
+        "zonal_value_quantiles": SQL_ZONAL_VALUE_QUANTILES,
         "admin1_rollup": SQL_ADMIN1_ROLLUP,
         "hotspot_cells_topk": SQL_HOTSPOT_CELLS_TOPK,
         "images_admin_count": SQL_IMAGES_ADMIN_COUNT,

@@ -230,3 +230,18 @@ def test_raster_zonal_with_compacted_cover_identical(spark, setup):
     for k in flat:
         np.testing.assert_allclose(blocked[k][0], flat[k][0], rtol=1e-12)
         np.testing.assert_allclose(blocked[k][1], flat[k][1], rtol=1e-12)
+
+
+def test_median_quantile_and_salt_guard(spark):
+    from geoglue_spark.operators.zonal import zonal_stats
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 2, 4, 8]] + [("b", 5.0)],
+        "admin_id string, value double",
+    )
+    got = {r.admin_id: r for r in zonal_stats(df, "value", ["median", "quantile(0.25)"]).collect()}
+    np.testing.assert_allclose(got["a"]["median"], 3.0)
+    np.testing.assert_allclose(got["a"]["quantile(0.25)"], 1.75)
+    np.testing.assert_allclose(got["b"]["median"], 5.0)
+    with pytest.raises(ValueError, match="holistic"):
+        zonal_stats(df, "value", ["median"], salt=4)
