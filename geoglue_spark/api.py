@@ -49,7 +49,14 @@ def parse_operations(ops: str) -> tuple[list[str], bool]:
         name, params = m.group(1), m.group(2) or ""
         if name not in ZONAL_OPS:
             raise ValueError(f"unknown operation {name!r}; allowed: {ZONAL_OPS}")
-        names.append(name)
+        resolved = name
+        for kv in filter(None, (p.strip() for p in params.split(","))):
+            k, _, v = kv.partition("=")
+            if name == "quantile" and k.strip() == "q":
+                resolved = f"quantile({float(v)})"  # internal parameterized form
+        if name == "quantile" and resolved == "quantile":
+            raise ValueError("quantile requires a q= parameter, e.g. quantile(q=0.9)")
+        names.append(resolved)
         for kv in filter(None, (p.strip() for p in params.split(","))):
             k, _, v = kv.partition("=")
             if k.strip() == "coverage_weight":

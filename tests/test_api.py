@@ -30,7 +30,7 @@ def test_parse_operations():
         False,
     )
     with pytest.raises(ValueError, match="unknown operation"):
-        parse_operations("median")
+        parse_operations("mode")
     with pytest.raises(ValueError, match="coverage_weight"):
         parse_operations("mean(coverage_weight=pixels)")
 
@@ -150,3 +150,12 @@ def test_validation_spec(spark):
         ValidationSpec(min=7.0, max=5.0).validate()
     with pytest.raises(ValueError, match="max_na_frac"):
         ValidationSpec(max_na_frac=1.5).validate()
+
+
+def test_parse_operations_quantile_param():
+    assert parse_operations("median, quantile(q=0.9)") == (
+        ["median", "quantile(0.9)"],
+        False,
+    )
+    with pytest.raises(ValueError, match="q= parameter"):
+        parse_operations("quantile")
