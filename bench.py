@@ -111,6 +111,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     names = [
         "admin_assign_count",
         "zonal_value_stats",
+        "zonal_value_quantiles",
         "images_admin_count",
         "tpch_q1",
         "tpch_q5_local_supplier",
