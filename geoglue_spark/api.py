@@ -32,9 +32,26 @@ from .operators.zonal import ZONAL_OPS, raster_zonal_stats
 _OP_RE = re.compile(r"^\s*(\w+)\s*(?:\(([^)]*)\))?\s*$")
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas OUTSIDE parentheses — 'a(x=1, y=2), b' -> 2 pieces."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return out
+
+
 def parse_operations(ops: str) -> tuple[list[str], bool]:
     """Parse an exactextract-style operation string (comma-separated names,
-    optional parenthesized params) into (op names, use_spherical_area).
+    optional parenthesized params — commas INSIDE parens are parameter
+    separators, e.g. 'quantile(q=0.9, coverage_weight=area_spherical_km2)')
+    into (op names, use_spherical_area).
 
     ``coverage_weight=area_spherical_km2`` turns on spherical-area
     weighting (the reference CLI default, cli.py:274); ``none``/``fraction``
@@ -42,7 +59,7 @@ def parse_operations(ops: str) -> tuple[list[str], bool]:
     """
     names: list[str] = []
     spherical = False
-    for piece in ops.split(","):
+    for piece in _split_top_level(ops):
         m = _OP_RE.match(piece)
         if not m:
             raise ValueError(f"unparseable operation {piece!r}")

@@ -26,7 +26,8 @@ class ZonalJobConfig:
     paths here, where the reference takes .nc/.shp files); ``admins_pk`` is
     the polygon primary-key column (reference shapefile_id);  ``operation``
     the exactextract-style op string; ``resample`` the weights pre-resample
-    mode ('off' | 'bilinear' | 'nearest').
+    mode ('off' | 'bilinear' | 'distance' | 'sparse_bilinear', or the CDO
+    aliases remapbil/remapdis/sremapbil — the values api.resample accepts).
     """
 
     raster: str

@@ -210,6 +210,38 @@ def compact_cover(
     return cells, full_blocks
 
 
+def join_cover_two_level(
+    df_with_cell: DataFrame,
+    cover_cols: DataFrame,
+    blocks: DataFrame,
+    grid: Grid,
+    block_shift: int,
+) -> DataFrame:
+    """Shared two-level candidate join (assignment AND zonal use this):
+    ``df_with_cell`` (must carry ``cell_id``) LEFT-joins the broadcast
+    cell-level cover and the broadcast interior-block table, keeps rows
+    matching either, coalesces ``admin_id`` and exposes ``_block_hit`` for
+    callers to coalesce their own per-cell columns (interior / coverage).
+
+    Tessellation assumption (see compact_cover): a row matches a cell row
+    XOR a block row, never both — the coalesce is exact. Still one scan of
+    ``df_with_cell``; both join sides broadcast; no shuffle."""
+    blk = F.broadcast(
+        blocks.select("block_id", F.col("admin_id").alias("_block_admin"))
+    )
+    return (
+        df_with_cell.withColumn(
+            "block_id", block_id_col(F.col("cell_id"), grid, block_shift)
+        )
+        .join(F.broadcast(cover_cols), "cell_id", "left")
+        .join(blk, "block_id", "left")
+        .filter(F.col("admin_id").isNotNull() | F.col("_block_admin").isNotNull())
+        .withColumn("admin_id", F.coalesce("admin_id", "_block_admin"))
+        .withColumn("_block_hit", F.col("_block_admin").isNotNull())
+        .drop("_block_admin")
+    )
+
+
 def cover_stats(cover: DataFrame) -> DataFrame:
     """Per-admin cover summary (cells, boundary fraction) — a cheap
     pre-flight metadata query like the reference's eager validation

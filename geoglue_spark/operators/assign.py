@@ -37,11 +37,20 @@ from ..pip import PreparedGeom, points_in_geom
 # Keyed by a uuid baked into each UDF closure, NOT id(bc): Python id() values
 # are reused after GC, so on a long-lived executor a new broadcast could alias
 # a dead one's entries and silently return the wrong prepared geometry.
+# Bounded: each token maps a full polygon set (~47k PreparedGeoms at world
+# scale), so only the most recent _PREP_CACHE_MAX tokens are kept — a
+# long-lived executor serving many assign jobs evicts dead jobs' geometry
+# instead of accumulating until OOM. dict preserves insertion order.
 _PREP_CACHE: dict[str, dict[str, PreparedGeom]] = {}
+_PREP_CACHE_MAX = 4
 
 
 def _prepared(token: str, bc, admin_id: str) -> PreparedGeom:
-    cache = _PREP_CACHE.setdefault(token, {})
+    cache = _PREP_CACHE.get(token)
+    if cache is None:
+        while len(_PREP_CACHE) >= _PREP_CACHE_MAX:
+            _PREP_CACHE.pop(next(iter(_PREP_CACHE)))
+        cache = _PREP_CACHE[token] = {}
     prep = cache.get(admin_id)
     if prep is None:
         prep = PreparedGeom(wkb_to_rings(bc.value[admin_id]))
@@ -152,29 +161,12 @@ def assign_admin(
         cov = F.broadcast(cover.select("cell_id", "admin_id", "interior"))
         cand = pts.join(cov, "cell_id", "inner")
     else:
-        from ..cover import block_id_col
+        from ..cover import join_cover_two_level
 
-        cov = F.broadcast(cover.select("cell_id", "admin_id", "interior"))
-        blk = F.broadcast(
-            blocks.select(
-                "block_id", F.col("admin_id").alias("_block_admin")
-            )
-        )
-        pts = pts.withColumn(
-            "block_id", block_id_col(F.col("cell_id"), grid, block_shift)
-        )
-        # tessellation assumption (compact_cover): a point matches a cell
-        # row XOR a block row, never both — coalesce is exact
-        cand = (
-            pts.join(cov, "cell_id", "left")
-            .join(blk, "block_id", "left")
-            .filter(F.col("admin_id").isNotNull() | F.col("_block_admin").isNotNull())
-            .withColumn("admin_id", F.coalesce("admin_id", "_block_admin"))
-            .withColumn(
-                "interior",
-                F.coalesce("interior", F.col("_block_admin").isNotNull()),
-            )
-        )
+        cand = join_cover_two_level(
+            pts, cover.select("cell_id", "admin_id", "interior"),
+            blocks, grid, block_shift,
+        ).withColumn("interior", F.coalesce("interior", F.col("_block_hit")))
 
     assigned = cand.filter(
         keep_udf(F.col("admin_id"), F.col("interior"), F.col(lon_col), F.col(lat_col))

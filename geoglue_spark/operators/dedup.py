@@ -5,8 +5,8 @@ dedup family. Design rules at 100 TB scale:
 
   * candidate generation NEVER compares all pairs: banding (LSH) or
     prefix-bucketing bounds the join to same-bucket pairs;
-  * bit math (XOR + bit_count) stays JVM-side — only signature
-    *generation* from text touches Python, Arrow-batched;
+  * bit math (XOR + bit_count) AND signature generation stay JVM-side
+    (explode + codegen'd multi-aggregates — no Python in any hot path);
   * pair outputs are canonicalized (a < b) so results are
     partitioning-independent.
 """
@@ -169,8 +169,9 @@ def shingle_key_col(gram: Column) -> Column:
 
 def word_shingles_col(text: Column, shingle_k: int) -> Column:
     """array<string> of whitespace word k-shingles; whole-text fallback for
-    short docs (mirrors _shingle_hashes semantics)."""
-    toks = F.split(F.trim(text), r"\s+")
+    short docs (mirrors _shingle_hashes semantics). NULL text behaves like
+    '' — the doc keeps a signature instead of silently vanishing."""
+    toks = F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+")
     nt = F.size(toks)
     idx = F.sequence(F.lit(1), nt - F.lit(shingle_k - 1))
     return F.when(
@@ -235,6 +236,10 @@ def minhash_near_dupes(
     (unbiased Jaccard estimate). Shuffle volume = n_docs * bands rows.
     """
     rows_per_band = n_perm // bands
+    # cached because the band join + verify stage reference it three times;
+    # stays pinned for the query's lifetime (Spark's ContextCleaner drops it
+    # when the plan is garbage-collected; long-lived callers can
+    # spark.catalog.clearCache() between batches)
     sig = minhash_signatures(df, text_col, id_col, n_perm, shingle_k).cache()
     # slim band rows: (id, band_idx, band_hash) only — the 64-long signature
     # never rides through the 16x explode or the self-join shuffle; the
@@ -302,7 +307,7 @@ def simhash_col(text: Column, n_bits: int = SIMHASH_BITS) -> Column:
     """
     if not 1 <= n_bits <= 60:
         raise ValueError("n_bits must be in [1, 60]")
-    trimmed = F.trim(text)
+    trimmed = F.trim(F.coalesce(text, F.lit("")))  # NULL text == ''
     toks = F.split(trimmed, r"\s+")
     hs = F.transform(toks, lambda t: F.concat(F.md5(t), F.md5(F.concat(t, F.lit("#")))))
     n = F.size(hs)
@@ -332,7 +337,7 @@ def simhash_signatures(
     :func:`simhash_col` (regression-tested) without the interpreted
     higher-order aggregate: tokens explode to rows once, the 60 per-bit
     majority votes run as sum() aggregates inside whole-stage codegen."""
-    trimmed = F.trim(F.col(text_col))
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))  # NULL text == ''
     toks = df.select(
         F.col(id_col).alias("_id"),
         (trimmed == "").alias("_blank"),

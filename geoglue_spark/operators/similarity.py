@@ -98,6 +98,72 @@ def hyperplane_signature_udf(dim: int, n_bits: int = 16, seed: int = 42):
     return sig
 
 
+
+def _probe_masks(n_bits: int, probe_hamming: int) -> list[int]:
+    """Every XOR mask within probe_hamming bit flips (incl. 0)."""
+    import itertools
+
+    return [
+        sum(1 << b for b in combo)
+        for r in range(probe_hamming + 1)
+        for combo in itertools.combinations(range(n_bits), r)
+    ]
+
+
+def _query_probes_and_vecs(
+    queries: list[tuple[int, list[float]]], dim: int, n_bits: int, probe_hamming: int
+) -> tuple[list[tuple[int, int]], dict[int, np.ndarray]]:
+    """(query_id, probe_sig) rows + normalized query vectors, from the SAME
+    deterministic hyperplanes as hyperplane_signature_udf (seed 42)."""
+    rng = np.random.Generator(np.random.PCG64(42))
+    planes = rng.standard_normal((dim, n_bits))
+    masks = _probe_masks(n_bits, probe_hamming)
+    probe_rows: list[tuple[int, int]] = []
+    qvecs: dict[int, np.ndarray] = {}
+    for qid, v in queries:
+        vec = np.asarray(v, np.float64)
+        bits = (vec @ planes) > 0
+        qsig = int(sum(int(b) << i for i, b in enumerate(bits)))
+        probe_rows += [(int(qid), qsig ^ m) for m in masks]
+        n = np.linalg.norm(vec)
+        qvecs[int(qid)] = vec / (n if n else 1.0)
+    return probe_rows, qvecs
+
+
+def _score_topk(
+    pruned: DataFrame,
+    qvecs: dict[int, np.ndarray],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    sim_decimals: int | None,
+) -> DataFrame:
+    """Shared exact-rerank stage: one scalar pandas UDF over
+    (query_id, vec) + deterministic (sim DESC, id ASC) ranking. Single
+    source of truth for rounding and tie-break order across the LSH,
+    indexed-LSH and IVF paths."""
+    spark = pruned.sparkSession
+    bc = spark.sparkContext.broadcast(qvecs)
+
+    @F.pandas_udf("double")
+    def sim_udf(query_id: pd.Series, vec: pd.Series) -> pd.Series:
+        qv = bc.value
+        cmat = _normalize(np.stack(vec.apply(lambda v: np.asarray(v, np.float64))))
+        qmat = np.stack([qv[int(q)] for q in query_id])
+        s = np.einsum("ij,ij->i", cmat, qmat)
+        if sim_decimals is not None:
+            s = np.round(s, sim_decimals)
+        return pd.Series(s)
+
+    scored = pruned.withColumn("sim", sim_udf(F.col("query_id"), F.col(vec_col)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col(id_col).alias("neighbor_id"), "sim")
+    )
+
+
 def cosine_topk_lsh(
     candidates: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -120,29 +186,10 @@ def cosine_topk_lsh(
     the scan cost is the hash probe, and with a signature-partitioned
     store the untouched buckets are never read.
     """
-    import itertools
-
     dim = len(queries[0][1])
     sig_udf = hyperplane_signature_udf(dim, n_bits)
     with_sig = candidates.withColumn("_sig", sig_udf(F.col(vec_col)))
-
-    rng = np.random.Generator(np.random.PCG64(42))
-    planes = rng.standard_normal((dim, n_bits))
-    probe_rows = []
-    qvecs = {}
-    masks = [
-        sum(1 << b for b in combo)
-        for r in range(probe_hamming + 1)
-        for combo in itertools.combinations(range(n_bits), r)
-    ]
-    for qid, v in queries:
-        vec = np.asarray(v, np.float64)
-        bits = (vec @ planes) > 0
-        qsig = int(sum(int(b) << i for i, b in enumerate(bits)))
-        probe_rows += [(int(qid), qsig ^ m) for m in masks]
-        n = np.linalg.norm(vec)
-        qvecs[int(qid)] = vec / (n if n else 1.0)
-
+    probe_rows, qvecs = _query_probes_and_vecs(queries, dim, n_bits, probe_hamming)
     spark = candidates.sparkSession
     probes = F.broadcast(
         spark.createDataFrame(probe_rows, "query_id long, psig long")
@@ -150,27 +197,7 @@ def cosine_topk_lsh(
     pruned = with_sig.join(probes, F.col("_sig") == F.col("psig")).select(
         id_col, vec_col, "query_id"
     )
-
-    # single-pass scoring: one scalar pandas UDF over (query_id, vec)
-    bc = spark.sparkContext.broadcast(qvecs)
-
-    @F.pandas_udf("double")
-    def sim_udf(query_id: pd.Series, vec: pd.Series) -> pd.Series:
-        qv = bc.value
-        cmat = _normalize(np.stack(vec.apply(lambda v: np.asarray(v, np.float64))))
-        qmat = np.stack([qv[int(q)] for q in query_id])
-        s = np.einsum("ij,ij->i", cmat, qmat)
-        if sim_decimals is not None:
-            s = np.round(s, sim_decimals)
-        return pd.Series(s)
-
-    scored = pruned.withColumn("sim", sim_udf(F.col("query_id"), F.col(vec_col)))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", F.col(id_col).alias("neighbor_id"), "sim")
-    )
+    return _score_topk(pruned, qvecs, k, id_col, vec_col, sim_decimals)
 
 
 # ---------------------------------------------------------------------------
@@ -183,8 +210,10 @@ def cosine_topk_lsh(
 def _ivf_centroids(
     candidates: DataFrame, n_clusters: int, id_col: str, vec_col: str
 ) -> np.ndarray:
-    """Deterministic centroid pick: the n_clusters sample ids are chosen by
-    a seeded PCG over the id hash order — metadata-scale collect."""
+    """Deterministic centroid pick: the n_clusters rows with the smallest
+    xxhash64(id) — a reproducible pseudo-random sample. orderBy().limit(n)
+    compiles to TakeOrderedAndProject (per-partition top-n heaps + driver
+    merge, verified in the plan), NOT a full sort — O(scan) at any scale."""
     rows = (
         candidates.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col).cast("string")))
@@ -261,25 +290,7 @@ def cosine_topk_ivf(
         .select(id_col, vec_col, "query_id")
     )
     qvecs = {qid: qmat[i] for i, qid in enumerate(qids)}
-    bc = spark.sparkContext.broadcast(qvecs)
-
-    @F.pandas_udf("double")
-    def sim_udf(query_id: pd.Series, vec: pd.Series) -> pd.Series:
-        qv = bc.value
-        cmat = _normalize(np.stack(vec.apply(lambda v: np.asarray(v, np.float64))))
-        qm = np.stack([qv[int(q)] for q in query_id])
-        s = np.einsum("ij,ij->i", cmat, qm)
-        if sim_decimals is not None:
-            s = np.round(s, sim_decimals)
-        return pd.Series(s)
-
-    scored = pruned.withColumn("sim", sim_udf(F.col("query_id"), F.col(vec_col)))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", F.col(id_col).alias("neighbor_id"), "sim")
-    )
+    return _score_topk(pruned, qvecs, k, id_col, vec_col, sim_decimals)
 
 
 # ---------------------------------------------------------------------------
@@ -326,27 +337,10 @@ def cosine_topk_lsh_indexed(
     signatures become an IN-list partition filter, so the scan lists and
     reads ONLY the probed buckets (check PartitionFilters in the plan).
     Results are identical to cosine_topk_lsh over the same candidates."""
-    import itertools
-
     dim = len(queries[0][1])
-    rng = np.random.Generator(np.random.PCG64(42))
-    planes = rng.standard_normal((dim, n_bits))
-    masks = [
-        sum(1 << b for b in combo)
-        for r in range(probe_hamming + 1)
-        for combo in itertools.combinations(range(n_bits), r)
-    ]
-    probe_rows, qvecs = [], {}
-    for qid, v in queries:
-        vec = np.asarray(v, np.float64)
-        bits = (vec @ planes) > 0
-        qsig = int(sum(int(b) << i for i, b in enumerate(bits)))
-        probe_rows += [(int(qid), qsig ^ m) for m in masks]
-        n = np.linalg.norm(vec)
-        qvecs[int(qid)] = vec / (n if n else 1.0)
-
+    probe_rows, qvecs = _query_probes_and_vecs(queries, dim, n_bits, probe_hamming)
     index = spark.read.parquet(index_path)
-    all_probes = sorted({s for _, s in probe_rows})
+    all_probes = sorted({ps for _, ps in probe_rows})
     pruned_scan = index.filter(F.col("_sig").isin(all_probes))  # partition prune
     probes = F.broadcast(
         spark.createDataFrame(probe_rows, "query_id long, psig long")
@@ -354,23 +348,4 @@ def cosine_topk_lsh_indexed(
     pruned = pruned_scan.join(probes, F.col("_sig") == F.col("psig")).select(
         id_col, vec_col, "query_id"
     )
-
-    bc = spark.sparkContext.broadcast(qvecs)
-
-    @F.pandas_udf("double")
-    def sim_udf(query_id: pd.Series, vec: pd.Series) -> pd.Series:
-        qv = bc.value
-        cmat = _normalize(np.stack(vec.apply(lambda v: np.asarray(v, np.float64))))
-        qmat = np.stack([qv[int(q)] for q in query_id])
-        s = np.einsum("ij,ij->i", cmat, qmat)
-        if sim_decimals is not None:
-            s = np.round(s, sim_decimals)
-        return pd.Series(s)
-
-    scored = pruned.withColumn("sim", sim_udf(F.col("query_id"), F.col(vec_col)))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", F.col(id_col).alias("neighbor_id"), "sim")
-    )
+    return _score_topk(pruned, qvecs, k, id_col, vec_col, sim_decimals)

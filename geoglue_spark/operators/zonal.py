@@ -215,19 +215,12 @@ def raster_zonal_stats(
     if blocks is None:
         joined = px.join(cov, "cell_id", "inner")
     else:
-        from ..cover import block_id_col
+        from ..cover import join_cover_two_level
 
-        blk = F.broadcast(
-            blocks.select("block_id", F.col("admin_id").alias("_block_admin"))
-        )
-        joined = (
-            px.withColumn("block_id", block_id_col(F.col("cell_id"), grid, block_shift))
-            .join(cov, "cell_id", "left")
-            .join(blk, "block_id", "left")
-            .filter(F.col("admin_id").isNotNull() | F.col("_block_admin").isNotNull())
-            .withColumn("admin_id", F.coalesce("admin_id", "_block_admin"))
-            .withColumn("coverage", F.coalesce("coverage", F.lit(1.0)))
-        )
+        joined = join_cover_two_level(
+            px, cover.select("cell_id", "admin_id", "coverage"),
+            blocks, grid, block_shift,
+        ).withColumn("coverage", F.coalesce("coverage", F.lit(1.0)))
 
     # exactextract's two weights: the coverage weight (coverage fraction x
     # spherical area, used by count/sum/mean and the area_weighted_sum

@@ -110,15 +110,20 @@ def run_incremental(
         t0 = time.time()
         df = process(p).withColumn(partition_col, F.lit(p))
         if require_complete_months is not None and p not in open_partitions:
+            # persist so the gate's aggregation and the write run the
+            # source pipeline ONCE, not twice
+            df = df.persist()
             last = df.agg(
                 F.max(F.to_date(require_complete_months)).alias("mx")
             ).collect()[0].mx
             if last is None or (last + datetime.timedelta(days=1)).day != 1:
+                df.unpersist()
                 raise ValueError(
                     f"partition {p!r}: closed month incomplete "
                     f"(max date {last}); refusing to commit"
                 )
         df.write.mode("overwrite").partitionBy(partition_col).parquet(out_path)
+        df.unpersist()
         rows = spark.read.parquet(out_path).filter(F.col(partition_col) == p).count()
         manifest.record(spark, p, rows, time.time() - t0, lineage)
     return todo

@@ -159,3 +159,15 @@ def test_parse_operations_quantile_param():
     )
     with pytest.raises(ValueError, match="q= parameter"):
         parse_operations("quantile")
+
+
+def test_parse_operations_two_params():
+    """Commas inside parens are parameter separators, not op separators
+    (review finding: spherically-weighted quantiles were unparseable)."""
+    assert parse_operations("quantile(q=0.9, coverage_weight=area_spherical_km2)") == (
+        ["quantile(0.9)"],
+        True,
+    )
+    assert parse_operations(
+        "mean(coverage_weight=area_spherical_km2), quantile(q=0.5, coverage_weight=none)"
+    ) == (["mean", "quantile(0.5)"], False)

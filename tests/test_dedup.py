@@ -179,3 +179,19 @@ def test_signature_snapshot_regression(spark):
         1351162036, 401762940, 137147622, 290966488,
     ]
     assert r.sh == 411798662883495910
+
+
+def test_null_text_keeps_documents(spark):
+    """NULL text must behave like '' — the doc keeps a signature instead of
+    silently vanishing from near-dup pipelines (review regression)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real text here")], "doc_id long, text string"
+    )
+    mh = {r._id: r._sig for r in D.minhash_signatures(df, "text", "doc_id").collect()}
+    sh = {r._id: r.phash for r in D.simhash_signatures(df, "text", "doc_id").collect()}
+    assert set(mh) == {1, 2, 3} and set(sh) == {1, 2, 3}
+    assert mh[1] == mh[2]  # NULL == '' signature
+    assert sh[1] == sh[2] == 0
+    # and the pair pipelines surface the NULL/blank duo as exact dupes
+    pairs = D.simhash_near_dupes(df, "text", "doc_id", max_hamming=0).toPandas()
+    assert (1, 2) in set(map(tuple, pairs[["id_a", "id_b"]].values))
