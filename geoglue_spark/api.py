@@ -55,10 +55,14 @@ def parse_operations(ops: str) -> tuple[list[str], bool]:
 
     ``coverage_weight=area_spherical_km2`` turns on spherical-area
     weighting (the reference CLI default, cli.py:274); ``none``/``fraction``
-    turn it off; bare names mean plain coverage fractions.
+    turn it off; bare names (no coverage_weight param) inherit whatever the
+    explicit ops chose. exactextract applies coverage_weight PER operation;
+    the engine's aggregation builds every op from one shared weight column,
+    so MIXED explicit settings in one string raise instead of silently
+    letting the last op win (ADVICE r2 fix).
     """
     names: list[str] = []
-    spherical = False
+    per_op_spherical: list[bool | None] = []
     for piece in _split_top_level(ops):
         m = _OP_RE.match(piece)
         if not m:
@@ -67,23 +71,29 @@ def parse_operations(ops: str) -> tuple[list[str], bool]:
         if name not in ZONAL_OPS:
             raise ValueError(f"unknown operation {name!r}; allowed: {ZONAL_OPS}")
         resolved = name
+        op_spherical: bool | None = None
         for kv in filter(None, (p.strip() for p in params.split(","))):
             k, _, v = kv.partition("=")
             if name == "quantile" and k.strip() == "q":
                 resolved = f"quantile({float(v)})"  # internal parameterized form
+            if k.strip() == "coverage_weight":
+                if v.strip() == "area_spherical_km2":
+                    op_spherical = True
+                elif v.strip() in ("none", "fraction"):
+                    op_spherical = False
+                else:
+                    raise ValueError(f"unknown coverage_weight {v!r}")
         if name == "quantile" and resolved == "quantile":
             raise ValueError("quantile requires a q= parameter, e.g. quantile(q=0.9)")
         names.append(resolved)
-        for kv in filter(None, (p.strip() for p in params.split(","))):
-            k, _, v = kv.partition("=")
-            if k.strip() == "coverage_weight":
-                if v.strip() == "area_spherical_km2":
-                    spherical = True
-                elif v.strip() in ("none", "fraction"):
-                    spherical = False
-                else:
-                    raise ValueError(f"unknown coverage_weight {v!r}")
-    return names, spherical
+        per_op_spherical.append(op_spherical)
+    explicit = {s for s in per_op_spherical if s is not None}
+    if len(explicit) > 1:
+        raise ValueError(
+            f"mixed coverage_weight settings across operations in {ops!r}: "
+            "all ops in one string must agree (run two zonalstats calls to mix)"
+        )
+    return names, bool(explicit.pop()) if explicit else False
 
 
 def region_from_file(
@@ -181,9 +191,17 @@ def compute_config(spark: SparkSession, cfg: ZonalJobConfig) -> str:
         if cfg.resample != "off":
             wgrid = infer_grid(weights)
             if not wgrid.approx_equal(grid):
-                weights = resample(
-                    weights, wgrid, grid, cfg.resample, value_col="weight"
+                # the reference resamples the RASTER onto the WEIGHTS grid
+                # (zonalstats.py:126-130 regrids to
+                # CdoGriddes.from_dataset(weights)) — population weights are
+                # typically FINER than the raster, so the output keeps the
+                # fine resolution (ADVICE r2 fix: the old direction silently
+                # coarsened weighted outputs)
+                dims = [d for d in ("time",) if d in pixels.columns]
+                pixels = resample(
+                    pixels, grid, wgrid, cfg.resample, value_col="value", dims=dims
                 )
+                grid = wgrid
     out = zonalstats(pixels, admins, cfg.operation, weights=weights, grid=grid)
     out.withColumn("geoglue_config", F.lit(cfg.lineage())).write.mode(
         "overwrite"

@@ -80,15 +80,33 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature_udf(dim: int, n_bits: int = 16, seed: int = 42):
-    """Random-hyperplane LSH signature (deterministic seed): sign pattern of
-    n_bits projections — cos-similar vectors collide with high probability."""
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    """The deterministic hyperplane family: identical for a given
+    (dim, n_bits, seed) wherever it is generated (driver, executor, or the
+    DuckDB oracle's NumPy replica)."""
     rng = np.random.Generator(np.random.PCG64(seed))
-    planes = rng.standard_normal((dim, n_bits))
+    return rng.standard_normal((dim, n_bits))
+
+
+def hyperplane_signature_udf(dim: int | None, n_bits: int = 16, seed: int = 42):
+    """Random-hyperplane LSH signature (deterministic seed): sign pattern of
+    n_bits projections — cos-similar vectors collide with high probability.
+
+    ``dim=None`` defers plane generation to the first Arrow batch on each
+    worker (vector width read from the data) — plan construction launches
+    no Spark job, and the planes are bit-identical to the eager form."""
+    planes_cache: dict[int, np.ndarray] = {}
+    if dim is not None:
+        planes_cache[dim] = _hyperplanes(dim, n_bits, seed)
 
     @F.pandas_udf("long")
     def sig(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="int64")
         m = np.stack(vec.apply(lambda v: np.asarray(v, np.float64)))
+        planes = planes_cache.get(m.shape[1])
+        if planes is None:
+            planes = planes_cache[m.shape[1]] = _hyperplanes(m.shape[1], n_bits, seed)
         bits = (m @ planes) > 0  # (n, n_bits)
         vals = np.zeros(len(m), dtype=np.int64)
         for b in range(n_bits):
@@ -310,8 +328,7 @@ def build_ann_index(
     hyperplane signature (one directory per occupied bucket, <= 2^n_bits).
     The signature family is the same deterministic seed as
     cosine_topk_lsh, so indexes are query-compatible."""
-    first = candidates.select(vec_col).first()
-    sig_udf = hyperplane_signature_udf(len(first[0]), n_bits)
+    sig_udf = hyperplane_signature_udf(None, n_bits)  # dim read from the data
     (
         candidates.select(id_col, vec_col)
         .withColumn("_sig", sig_udf(F.col(vec_col)))

@@ -728,9 +728,12 @@ def q_knn_admin_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = _points(spark, sf_dir).select("event_id", "lon", "lat")
     cents = admin_centroids(admins_df(spark))
-    return knn_join(pts, cents, QUERY_GRID, k=3, id_cols=["event_id"]).select(
-        "event_id", "rk", "admin_id"
-    )
+    # assume_small=True: the admin table is a known-small dimension (100
+    # rows here, ~47k GADM-2 worldwide) — explicit, so plan construction
+    # stays job-free
+    return knn_join(
+        pts, cents, QUERY_GRID, k=3, id_cols=["event_id"], assume_small=True
+    ).select("event_id", "rk", "admin_id")
 
 
 SQL_KNN_ADMIN_CENTROIDS = f"""

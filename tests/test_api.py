@@ -168,6 +168,67 @@ def test_parse_operations_two_params():
         ["quantile(0.9)"],
         True,
     )
+    # mixed explicit settings now raise (ADVICE r2) — agreeing ones parse
     assert parse_operations(
-        "mean(coverage_weight=area_spherical_km2), quantile(q=0.5, coverage_weight=none)"
+        "mean(coverage_weight=none), quantile(q=0.5, coverage_weight=none)"
     ) == (["mean", "quantile(0.5)"], False)
+
+def test_parse_operations_mixed_coverage_weight_raises():
+    """exactextract applies coverage_weight per op; one shared weight
+    column means MIXED explicit settings must raise, not last-op-win
+    (ADVICE r2)."""
+    with pytest.raises(ValueError, match="mixed coverage_weight"):
+        parse_operations(
+            "mean(coverage_weight=area_spherical_km2), sum(coverage_weight=none)"
+        )
+    # agreeing explicit settings + bare ops are fine
+    ops, sph = parse_operations(
+        "mean(coverage_weight=area_spherical_km2), count, "
+        "sum(coverage_weight=area_spherical_km2)"
+    )
+    assert ops == ["mean", "count", "sum"] and sph is True
+
+
+def test_compute_config_resamples_raster_onto_weights_grid(spark, tmp_path):
+    """Reference direction (zonalstats.py:126-130): with a FINER weights
+    raster, the RASTER is resampled onto the WEIGHTS grid, so the output is
+    computed at the fine resolution. NumPy oracle: value=lon is linear ->
+    bilinear is exact, box edges align with fine-cell edges -> coverage 1;
+    the old (weights->raster) direction gives 1.0390625 here, the correct
+    fine-grid value is 1.041015625."""
+    import json as _json
+
+    # coarse raster 0.25deg over [0,2]^2, value = lon (linear)
+    rows = [
+        (0.125 + ix * 0.25, 0.125 + iy * 0.25, 0.125 + ix * 0.25)
+        for iy in range(8) for ix in range(8)
+    ]
+    raster_path = str(tmp_path / "raster.parquet")
+    spark.createDataFrame(rows, "lon double, lat double, value double").write.parquet(raster_path)
+    # fine weights 0.125deg, weight = 1 + lon
+    wrows = [
+        (0.0625 + ix * 0.125, 0.0625 + iy * 0.125, 1.0 + 0.0625 + ix * 0.125)
+        for iy in range(16) for ix in range(16)
+    ]
+    weights_path = str(tmp_path / "weights.parquet")
+    spark.createDataFrame(wrows, "lon double, lat double, weight double").write.parquet(weights_path)
+    feat = {
+        "type": "Feature", "properties": {"GID_2": "BOX"},
+        "geometry": {"type": "Polygon", "coordinates": [
+            [[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5], [0.5, 0.5]]
+        ]},
+    }
+    admins_path = tmp_path / "admins.geojson"
+    admins_path.write_text(_json.dumps({"type": "FeatureCollection", "features": [feat]}))
+    cfg = ZonalJobConfig(
+        raster=raster_path, admins=str(admins_path), admins_pk="GID_2",
+        output=str(tmp_path / "out.parquet"),
+        operation="weighted_mean(coverage_weight=none)",
+        weights=weights_path, resample="bilinear",
+    )
+    out = spark.read.parquet(compute_config(spark, cfg)).collect()
+    assert len(out) == 1
+    lons = np.array([0.5625 + 0.125 * k for k in range(8)])
+    w = 1.0 + lons
+    expected = float((w * lons).sum() / w.sum())  # = 1.041015625
+    np.testing.assert_allclose(out[0]["weighted_mean"], expected, rtol=1e-9)

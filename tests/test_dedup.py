@@ -195,3 +195,92 @@ def test_null_text_keeps_documents(spark):
     # and the pair pipelines surface the NULL/blank duo as exact dupes
     pairs = D.simhash_near_dupes(df, "text", "doc_id", max_hamming=0).toPandas()
     assert (1, 2) in set(map(tuple, pairs[["id_a", "id_b"]].values))
+
+def test_bucket_guard_raises_on_low_entropy_corpus(spark):
+    """Adversarial corpus: many rows share one band bucket. The lazy guard
+    must fail the job with the blow-up message instead of silently running
+    a quadratic self-join (the 100-TB failure mode, r2 verdict #1)."""
+    from py4j.protocol import Py4JJavaError
+
+    rows = [(i, 0x0F0F0F0F0F0F0F0F) for i in range(64)]  # identical hashes
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+    with pytest.raises(Exception, match="bucket overflow"):
+        D.phash_near_dupes(
+            df, "phash", "image_id", max_hamming=8, bucket_cap=16
+        ).collect()
+
+
+def test_bucket_guard_salt_mode_identical_output(spark):
+    """on_overflow='salt' spreads hot buckets across sub-buckets but must
+    emit the IDENTICAL pair set (each pair meets in exactly one slot)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    # low-entropy hashes: only 8 distinct values over 200 rows -> every
+    # bucket is hot at cap=5
+    vals = rng.integers(0, 8, size=200)
+    rows = [(int(i), int(v) * 0x1111) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+    unguarded = D.phash_near_dupes(
+        df, "phash", "image_id", max_hamming=8, bucket_cap=None
+    )
+    salted = D.phash_near_dupes(
+        df, "phash", "image_id", max_hamming=8, bucket_cap=5, on_overflow="salt"
+    )
+    pa = sorted(map(tuple, unguarded.toPandas().values.tolist()))
+    pb = sorted(map(tuple, salted.toPandas().values.tolist()))
+    assert pa == pb and len(pa) > 0
+
+
+def test_guard_default_does_not_change_results(spark, docs):
+    """Default guard (cap 100k, raise) on a healthy corpus: same pairs as
+    the unguarded path."""
+    g = D.simhash_near_dupes(docs, "text", "doc_id", max_hamming=10)
+    u = D.simhash_near_dupes(docs, "text", "doc_id", max_hamming=10, bucket_cap=None)
+    assert sorted(map(tuple, g.toPandas().values.tolist())) == sorted(
+        map(tuple, u.toPandas().values.tolist())
+    )
+
+
+def test_plan_construction_launches_no_jobs(spark, docs):
+    """Library defaults must be lazy: building the knn_join and
+    embedding_near_dupes plans runs ZERO Spark jobs (r2 verdict #7)."""
+    from geoglue_spark.grids import Grid
+    from geoglue_spark.operators.knn import knn_join
+
+    sc = spark.sparkContext
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pts = spark.createDataFrame([(1, 0.5, 0.5)], "pid long, lon double, lat double")
+    cents = spark.createDataFrame(
+        [("A", 0.6, 0.6)], "admin_id string, clon double, clat double"
+    )
+    grid = Grid(x0=0.0, dx=0.1, nx=100, y0=0.0, dy=0.1, ny=100)
+    sc.setJobGroup("plan-construction-probe", "no jobs expected")
+    try:
+        _ = D.embedding_near_dupes(emb, min_cosine=0.9)
+        _ = knn_join(pts, cents, grid, k=1, id_cols=["pid"])
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(sc.statusTracker().getJobIdsForGroup("plan-construction-probe")) == []
+
+
+def test_signature_caches_released_across_calls(spark, docs):
+    """Repeated dedup invocations must not accumulate pinned storage: at
+    most one signature cache per operator stays, and
+    release_signature_caches() frees those too (ADVICE r2)."""
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    D.release_signature_caches(spark)
+    spark.catalog.clearCache()
+    base = n_cached()
+    for _ in range(3):
+        D.minhash_near_dupes(docs, "text", "doc_id", min_jaccard=0.3).count()
+    for _ in range(2):
+        D.simhash_near_dupes(docs, "text", "doc_id", max_hamming=4).count()
+    assert n_cached() <= base + 2  # one live cache per operator, not five
+    D.release_signature_caches(spark)
+    assert n_cached() <= base

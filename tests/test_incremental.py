@@ -188,3 +188,49 @@ def test_stream_ingest_partitions(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 20
+
+def test_stream_ingest_accumulates_across_batches(spark, tmp_path):
+    """ADVICE r2 (high): a partition whose data spans micro-batches must
+    KEEP earlier batches' rows — the (part, _batch) sub-partition layout
+    accumulates across batches while staying replace-idempotent within
+    one."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from geoglue_spark.streaming.incremental import (
+        CheckpointManifest,
+        stream_ingest_partitions,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [{"event_id": i, "ts": "2019-01-15 00:00:00", "value": float(i)} for i in range(5)]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows1))
+    stream_def = lambda: (
+        spark.readStream.schema("event_id long, ts string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = str(tmp_path / "out")
+    manifest = CheckpointManifest(str(tmp_path / "manifest"))
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_ingest_partitions(
+        stream_def(), out, manifest,
+        F.date_format(F.to_timestamp("ts"), "yyyy-MM"), checkpoint_path=ckpt,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 5
+    # a LATER run with the SAME checkpoint delivers new files for the SAME
+    # (open) month — the old layout silently deleted the first 5 rows here
+    rows2 = [{"event_id": 100 + i, "ts": "2019-01-20 00:00:00", "value": 1.0} for i in range(3)]
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+    q2 = stream_ingest_partitions(
+        stream_def(), out, manifest,
+        F.date_format(F.to_timestamp("ts"), "yyyy-MM"), checkpoint_path=ckpt,
+    )
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 8  # 5 + 3, nothing lost
+    ids = {r.event_id for r in got.collect()}
+    assert ids == set(range(5)) | {100, 101, 102}
