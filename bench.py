@@ -105,6 +105,55 @@ def run_flagship(spark, n_rows: int, reps: int = 1) -> tuple[float, int]:
     return statistics.median(times), n_rows
 
 
+def run_fine_raster(spark, reps: int = 3) -> dict:
+    """Fine-grid raster zonal: 2000x2000 cells (0.005-degree over the same
+    10x10-degree extent) through the TWO-LEVEL block-compacted cover — the
+    default path at realistic raster resolution, where a flat cell cover
+    (4M rows) would strain the broadcast but interior blocks compress it
+    ~(2^block_shift)^2x. Returns median seconds + broadcast-size evidence
+    (residual boundary cells vs interior blocks) and the 2-BHJ plan check."""
+    import statistics
+
+    from geoglue_spark.cover import build_cover, compact_cover
+    from geoglue_spark.grids import Grid
+    from geoglue_spark.operators.zonal import raster_zonal_stats
+    from geoglue_spark.synth import admins_df, grid_pixels_table
+
+    grid = Grid(x0=100.0, dx=0.005, nx=2000, y0=10.0, dy=0.005, ny=2000)
+    admins = admins_df(spark)
+    cells, blocks = compact_cover(
+        build_cover(admins, grid, supersample=8), grid, block_shift=4
+    )
+    cells = cells.cache()
+    blocks = blocks.cache()
+    n_cells, n_blocks = cells.count(), blocks.count()
+
+    def job():
+        px = grid_pixels_table(spark, nx=2000, ny=2000, hours=1, inc=0.005).filter(
+            "var = 't2m'"
+        )
+        return raster_zonal_stats(
+            px, cells, grid, ops=["count", "mean"], by_dims=["time"],
+            blocks=blocks, block_shift=4,
+        )
+
+    plan = job()._jdf.queryExecution().executedPlan().toString()
+    times = []
+    for _ in range(reps):
+        out = job()  # fresh plan per rep
+        t0 = time.time()
+        _materialize(out)
+        times.append(time.time() - t0)
+    return {
+        "sec": round(statistics.median(times), 3),
+        "pixels": 2000 * 2000,
+        "cover_cells": n_cells,          # boundary rows in the broadcast
+        "cover_blocks": n_blocks,        # interior 16x16 blocks
+        "flat_cover_equiv": n_cells + 256 * n_blocks,  # rows a flat cover would broadcast
+        "bhj_in_plan": plan.count("BroadcastHashJoin"),
+    }
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from geoglue_spark import queries as Q
 
@@ -170,6 +219,8 @@ def main_bench() -> None:
     flag_sec, flag_rows = run_flagship(spark, BENCH_ROWS, reps=5)
     times = bench_queries(spark, sf_dir)
     times["flagship_assign_zonal"] = round(flag_sec, 3)
+    fine = run_fine_raster(spark)
+    times["raster_zonal_fine"] = fine["sec"]
     total = round(sum(times.values()), 3)
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
     print(
@@ -182,6 +233,7 @@ def main_bench() -> None:
                 "sf": sf,
                 "assign_rows": flag_rows,
                 "assign_rows_per_sec": round(flag_rows / flag_sec, 1),
+                "fine_raster": fine,
                 "cores": cores,
             }
         )

@@ -1,0 +1,347 @@
+"""geoglue-style command line over the Spark engine.
+
+Mirrors the reference CLI's surface and pipeline style (reference
+src/geoglue/cli.py:89-305): subcommands compose via stdout/stdin
+manifests —
+
+    python -m geoglue_spark crop raster.parquet 100,10,104,14 -o c.parquet \\
+      | python -m geoglue_spark merge -o merged.parquet
+
+Subcommands (reference analog in parens):
+
+* ``crop RASTER BOUNDS`` (cli.py:109-188) — bbox / named-region /
+  ``path::pk`` bounds, optional ``--cover`` enlargement, per-variable
+  split printing one ``crop <path>`` manifest line per output.
+* ``merge`` (cli.py:81-94) — concatenates the datasets named on stdin
+  (or ``--file``), combining config lineage first-seen-ordered (O4).
+* ``zonalstats RASTER REGION`` (cli.py:190-305) — operation defaulting +
+  weighted_ prefixing + config alias resolution, runs
+  :func:`geoglue_spark.api.compute_config`, prints the reference's
+  logfmt progress lines.
+* ``stats FILES...`` (cli.py:96-105) — summary statistics per file.
+* ``griddes FILE`` (cli.py:307-312) — CDO grid description of a parquet
+  raster.
+
+Storage is parquet where the reference reads/writes netCDF — the engine's
+table analog (SURVEY §2.1); everything else (bounds resolution order,
+manifest composition, operation strings, output naming) follows the
+reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .config import GlobalConfig, RegionSource, ZonalJobConfig
+from .geometry import Bbox, wkb_to_rings
+from .grids import infer_grid
+
+
+def _spark() -> SparkSession:
+    from .session import get_spark
+
+    return get_spark("geoglue-spark-cli")
+
+
+def _read_config(path: str | None) -> GlobalConfig:
+    if path is None:
+        return GlobalConfig()
+    with open(path, encoding="utf-8") as fh:
+        return GlobalConfig.from_toml(fh.read())
+
+
+def _region_bbox(spark: SparkSession, src: RegionSource) -> Bbox:
+    """Integer-hull bbox of a polygon source (reference bbox_from_region
+    with integer_bounds=True, util.py:129-146). Polygon tables are
+    dimension-scale; collecting geometries is metadata-sized."""
+    rows = src.load(spark).select("geometry").collect()
+    minx = miny = float("inf")
+    maxx = maxy = float("-inf")
+    for r in rows:
+        for poly in wkb_to_rings(bytes(r.geometry)):
+            for ring in poly:
+                minx = min(minx, float(ring[:, 0].min()))
+                maxx = max(maxx, float(ring[:, 0].max()))
+                miny = min(miny, float(ring[:, 1].min()))
+                maxy = max(maxy, float(ring[:, 1].max()))
+    return Bbox(minx, miny, maxx, maxy).int()
+
+
+def _resolve_bounds(spark: SparkSession, bounds: str, cfg: GlobalConfig) -> Bbox:
+    """Reference resolution order (cli.py:148-157): config region name,
+    else ``path::pk`` polygon source, else a bbox literal."""
+    if bounds in cfg.region:
+        return _region_bbox(spark, cfg.region[bounds])
+    if "::" in bounds:
+        return _region_bbox(spark, RegionSource.from_str(bounds))
+    return Bbox.from_string(bounds).int()
+
+
+def _data_bbox(df) -> Bbox:
+    """Cell-edge bbox of a long-form raster (one metadata-scale agg)."""
+    g = infer_grid(df)
+    return Bbox(g.x0, g.y0, g.x0 + g.nx * g.dx, g.y0 + g.ny * g.dy)
+
+
+def _safe_name(b: Bbox) -> str:
+    return "_".join(
+        str(int(v)) if float(v).is_integer() else str(v).replace(".", "p")
+        for v in b
+    )
+
+
+# --------------------------------------------------------------------------
+# crop
+# --------------------------------------------------------------------------
+def cmd_crop(args: argparse.Namespace) -> int:
+    from .operators.merge import crop as crop_op
+
+    spark = _spark()
+    cfg = _read_config(args.config)
+    pixels = spark.read.parquet(args.raster)
+    src_bbox = _data_bbox(pixels)
+    bbox = _resolve_bounds(spark, args.bounds, cfg)
+    if args.cover:
+        cover_bbox = _data_bbox(spark.read.parquet(args.cover))
+        while not bbox.contains(cover_bbox):
+            bbox = bbox.enlarge(by=1)
+        # one more cell ring so edge cells exist on all sides (cli.py:165-167)
+        bbox = bbox.enlarge(by=1)
+    if not src_bbox.contains(bbox):
+        print(f"ERROR: Source bbox {src_bbox} not larger than target bbox {bbox}")
+        return 1
+    out_base = args.output or (
+        os.path.splitext(args.raster)[0] + f".{_safe_name(bbox)}.parquet"
+    )
+    cropped = crop_op(pixels, bbox)
+    variables = (
+        [r["var"] for r in cropped.select("var").distinct().orderBy("var").collect()]
+        if "var" in cropped.columns
+        else []
+    )
+    if len(variables) > 1 and args.split:
+        # per-variable outputs, one manifest line each (cli.py:183-186)
+        root = out_base[: -len(".parquet")] if out_base.endswith(".parquet") else out_base
+        for v in variables:
+            path = f"{root}.{v}.parquet"
+            cropped.filter(F.col("var") == v).write.mode("overwrite").parquet(path)
+            print(f"crop {path}")
+    else:
+        cropped.write.mode("overwrite").parquet(out_base)
+        print(out_base)
+    return 0
+
+
+# --------------------------------------------------------------------------
+# merge
+# --------------------------------------------------------------------------
+def cmd_merge(args: argparse.Namespace) -> int:
+    from .operators.merge import (
+        LINEAGE_KEY,
+        concat_time,
+        concat_with_lineage,
+        variable_merge,
+    )
+
+    spark = _spark()
+    lines = (
+        open(args.file, encoding="utf-8").read().splitlines()
+        if args.file
+        else sys.stdin.read().splitlines()
+    )
+    paths = []
+    for line in lines:
+        line = line.strip()
+        if not line:
+            continue
+        # manifest lines may carry the emitting command as a first token
+        # ("crop <path>", cli.py:183-186 / merge.py:12-22)
+        paths.append(line.split()[-1])
+    if not paths:
+        print("ERROR: no input datasets on stdin/--file")
+        return 1
+    frames = [spark.read.parquet(p) for p in paths]
+    # group by column set: same-schema inputs concatenate along the dim,
+    # different variable groups merge horizontally (reference
+    # merge_datasets, merge.py:24-75)
+    groups: dict[tuple[str, ...], list] = {}
+    for f in frames:
+        groups.setdefault(tuple(sorted(f.columns)), []).append(f)
+    merged = []
+    for fs in groups.values():
+        if any(LINEAGE_KEY in f.columns for f in fs):
+            merged.append(concat_with_lineage(fs))
+        else:
+            merged.append(concat_time(fs))
+    if len(merged) == 1:
+        out = merged[0]
+    else:
+        dims = set(merged[0].columns)
+        for m in merged[1:]:
+            dims &= set(m.columns)
+        dims.discard(LINEAGE_KEY)
+        value_cols = [
+            c for m in merged for c in m.columns if c not in dims and c != LINEAGE_KEY
+        ]
+        out = variable_merge([m.drop(LINEAGE_KEY) for m in merged], sorted(dims), value_cols)
+    out.write.mode("overwrite").parquet(args.output)
+    print(args.output)
+    return 0
+
+
+# --------------------------------------------------------------------------
+# zonalstats
+# --------------------------------------------------------------------------
+def cmd_zonalstats(args: argparse.Namespace) -> int:
+    from .api import compute_config
+
+    spark = _spark()
+    gcfg = _read_config(args.config)
+    if "::" in args.region:
+        shp = RegionSource.from_str(args.region)
+    elif args.region in gcfg.region:
+        shp = gcfg.region[args.region]
+    else:
+        print(
+            f"ERROR: region={args.region!r} not found in configuration and no "
+            "specific path::pk param passed"
+        )
+        return 1
+    # operation defaulting + weighted_ prefixing (cli.py:268-277)
+    if args.weights:
+        op = args.operation or "weighted_mean(coverage_weight=area_spherical_km2)"
+        if "weighted" not in op:
+            print("WARN: Passed weights but operation is not weighted, prefixing!")
+            op = "weighted_" + op
+    else:
+        op = args.operation or "mean(coverage_weight=area_spherical_km2)"
+    op = gcfg.resolve_operation(op)
+    print(f"config\t\toperation {op}")
+    output = args.output or os.path.splitext(args.raster)[0] + ".zs.parquet"
+    cfg = ZonalJobConfig(
+        raster=args.raster,
+        admins=shp.file,
+        admins_pk=shp.pk,
+        output=output,
+        operation=op,
+        weights=args.weights,
+        resample=args.resample,
+    )
+    for p in (cfg.raster, cfg.admins, cfg.weights):
+        if p and not os.path.exists(p):
+            print(f"ERROR: missing input {p}")
+            return 1
+    t0 = time.time()
+    begin = datetime.datetime.now(datetime.timezone.utc)
+    print(f"zonalstats\tbegin={begin.isoformat()}")
+    out_path = compute_config(spark, cfg)
+    out = spark.read.parquet(out_path)
+    stat_cols = [
+        c for c, t in out.dtypes
+        if c not in ("admin_id", "geoglue_config") and t in ("double", "float")
+    ]
+    nna = 0
+    if stat_cols:
+        row = out.agg(
+            *[F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c) for c in stat_cols]
+        ).collect()[0]
+        nna = sum(int(v or 0) for v in row)
+    print(f"zonalstats\tNA={nna} {cfg}")
+    end = datetime.datetime.now(datetime.timezone.utc)
+    print(f"zonalstats\tend={end.isoformat()} elapsed={time.time() - t0:.1f}s")
+    return 0
+
+
+# --------------------------------------------------------------------------
+# stats / griddes
+# --------------------------------------------------------------------------
+def cmd_stats(args: argparse.Namespace) -> int:
+    from .operators.validate import summary_stats
+
+    spark = _spark()
+    for path in args.files:
+        df = spark.read.parquet(path)
+        value_cols = [
+            c for c, t in df.dtypes if t in ("double", "float") and c not in ("lon", "lat")
+        ]
+        n = df.count()
+        print(f"{path}\trows={n}")
+        if value_cols:
+            row = summary_stats(df, value_cols).collect()[0].asDict()
+            for c in value_cols:
+                print(
+                    f"{path}\t{c}\tnna={row[f'{c}_nna']} mean={row[f'{c}_mean']} "
+                    f"min={row[f'{c}_min']} max={row[f'{c}_max']}"
+                )
+    return 0
+
+
+def cmd_griddes(args: argparse.Namespace) -> int:
+    spark = _spark()
+    grid = infer_grid(spark.read.parquet(args.file))
+    print(grid.to_griddes_text())
+    return 0
+
+
+# --------------------------------------------------------------------------
+# parser
+# --------------------------------------------------------------------------
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="geoglue-spark",
+        description="geoglue-spark — Spark-native geospatial data processing",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("crop", help="Crop raster data to region")
+    c.add_argument("raster")
+    c.add_argument("bounds", help="bbox 'minx,miny,maxx,maxy', config region name, or path::pk")
+    c.add_argument("--split", action=argparse.BooleanOptionalAction, default=True,
+                   help="split output by variable")
+    c.add_argument("--cover", help="raster the cropped output must cover")
+    c.add_argument("-o", "--output")
+    c.add_argument("-c", "--config")
+    c.set_defaults(fn=cmd_crop)
+
+    m = sub.add_parser("merge", help="Merge datasets named on standard input")
+    m.add_argument("--dim", default="time")
+    m.add_argument("-o", "--output", required=True)
+    m.add_argument("--file", help="manifest file instead of stdin")
+    m.set_defaults(fn=cmd_merge)
+
+    z = sub.add_parser("zonalstats", help="Compute zonal statistics")
+    z.add_argument("raster")
+    z.add_argument("region", help="config region name or <polygons>::<pk>")
+    z.add_argument("--operation")
+    z.add_argument("--weights")
+    z.add_argument("--resample", default="off",
+                   choices=["remapdis", "remapbil", "sremapbil", "bilinear",
+                            "distance", "sparse_bilinear", "off"])
+    z.add_argument("-o", "--output")
+    z.add_argument("-c", "--config")
+    z.set_defaults(fn=cmd_zonalstats)
+
+    s = sub.add_parser("stats", help="Show statistics for result files")
+    s.add_argument("files", nargs="+")
+    s.set_defaults(fn=cmd_stats)
+
+    g = sub.add_parser("griddes", help="Show CDO grid description for a file")
+    g.add_argument("file")
+    g.set_defaults(fn=cmd_griddes)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -6,7 +6,8 @@ This container has no PIL/opencv, so the engine ships a real, dependency-
 free codec for the formats the synthetic fixtures use:
 
   * ``raw``  — w*h*c uint8, row-major (lossless)
-  * ``png``  — minimal valid PNG (8-bit gray/RGB, filter 0) via zlib
+  * ``png``  — valid PNG (8-bit gray/RGB; all five scanline filters
+               None/Sub/Up/Average/Paeth decode, encoder picks any) via zlib
   * ``qnt``  — deterministic fake-lossy: PNG of 4-level-quantized pixels;
                round-trips at PSNR ~= 46 dB, exercising the PSNR >= 40 dB
                invariant without a JPEG library.
@@ -41,20 +42,62 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """Encode (h, w) gray or (h, w, 3) RGB uint8 to a minimal PNG."""
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec 9.4) — vectorized over a scanline."""
+    a = a.astype(np.int16)
+    b = b.astype(np.int16)
+    c = c.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(
+        np.uint8
+    )
+
+
+def _filter_scanlines(body: np.ndarray, bpp: int, filter_type: int) -> bytes:
+    """Apply one PNG filter (0-4) to every scanline of (h, w*bpp) bytes.
+    Filtering uses the RECONSTRUCTED (= original) bytes for a/b/c, per the
+    spec, so any decoder round-trips exactly."""
+    h, stride = body.shape
+    prior = np.zeros(stride, np.uint8)
+    out = bytearray()
+    for y in range(h):
+        line = body[y]
+        a = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:  # Sub
+            filt = line - a
+        elif filter_type == 2:  # Up
+            filt = line - prior
+        elif filter_type == 3:  # Average
+            filt = line - ((a.astype(np.uint16) + prior.astype(np.uint16)) // 2).astype(np.uint8)
+        elif filter_type == 4:  # Paeth
+            c = np.concatenate([np.zeros(bpp, np.uint8), prior[:-bpp]])
+            filt = line - _paeth(a, prior, c)
+        else:
+            raise ValueError(f"invalid PNG filter type {filter_type}")
+        out.append(filter_type)
+        out += filt.tobytes()
+        prior = line
+    return bytes(out)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode (h, w) gray or (h, w, 3) RGB uint8 to a minimal PNG.
+    ``filter_type`` applies one PNG filter (0=None, 1=Sub, 2=Up,
+    3=Average, 4=Paeth) to every scanline."""
     pixels = np.asarray(pixels, dtype=np.uint8)
     if pixels.ndim == 2:
-        h, w, color_type = pixels.shape[0], pixels.shape[1], 0
+        h, w, color_type, bpp = pixels.shape[0], pixels.shape[1], 0, 1
         body = pixels
     elif pixels.ndim == 3 and pixels.shape[2] == 3:
-        h, w, color_type = pixels.shape[0], pixels.shape[1], 2
+        h, w, color_type, bpp = pixels.shape[0], pixels.shape[1], 2, 3
         body = pixels.reshape(h, w * 3)
     else:
         raise ValueError(f"unsupported pixel shape {pixels.shape}")
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    # filter byte 0 per scanline
-    raw = np.concatenate([np.zeros((h, 1), np.uint8), body], axis=1).tobytes()
+    raw = _filter_scanlines(np.ascontiguousarray(body), bpp, filter_type)
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
@@ -63,8 +106,45 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+def _unfilter_scanline(
+    ftype: int, filt: np.ndarray, prior: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Reconstruct one scanline (PNG spec 9.4). Sub/Average/Paeth have a
+    serial left-neighbour dependency, resolved pixel-group-wise (bpp
+    columns at a time) — w steps of vectorized uint8 math, not w*bpp."""
+    if ftype == 0:
+        return filt.copy()
+    if ftype == 2:  # Up — fully vectorized
+        return filt + prior
+    line = filt.copy()
+    n = line.shape[0]
+    if ftype == 1:  # Sub
+        for x in range(bpp, n, bpp):
+            line[x : x + bpp] += line[x - bpp : x]
+        return line
+    if ftype == 3:  # Average
+        line[:bpp] += (prior[:bpp].astype(np.uint16) // 2).astype(np.uint8)
+        for x in range(bpp, n, bpp):
+            avg = (
+                line[x - bpp : x].astype(np.uint16)
+                + prior[x : x + bpp].astype(np.uint16)
+            ) // 2
+            line[x : x + bpp] += avg.astype(np.uint8)
+        return line
+    if ftype == 4:  # Paeth
+        zero = np.zeros(bpp, np.uint8)
+        line[:bpp] += _paeth(zero, prior[:bpp], zero)
+        for x in range(bpp, n, bpp):
+            line[x : x + bpp] += _paeth(
+                line[x - bpp : x], prior[x : x + bpp], prior[x - bpp : x]
+            )
+        return line
+    raise ValueError(f"invalid PNG filter type {ftype}")
+
+
 def decode_png(buf: bytes) -> np.ndarray:
-    """Decode PNGs produced by :func:`encode_png` (8-bit, filter 0)."""
+    """Decode 8-bit gray/RGB non-interlaced PNGs, all five scanline filter
+    types (None/Sub/Up/Average/Paeth — the r2 stub covered only 0)."""
     if buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     off = 8
@@ -85,10 +165,19 @@ def decode_png(buf: bytes) -> np.ndarray:
             break
     raw = zlib.decompress(b"".join(idat))
     channels = 3 if color_type == 2 else 1
+    bpp = channels
     arr = np.frombuffer(raw, np.uint8).reshape(h, w * channels + 1)
-    if np.any(arr[:, 0] != 0):
-        raise NotImplementedError("STUB: PNG filter types 1-4 not implemented")
-    pix = arr[:, 1:]
+    ftypes = arr[:, 0]
+    if np.any(ftypes > 4):
+        raise ValueError(f"invalid PNG filter byte {int(ftypes.max())}")
+    if np.all(ftypes == 0):
+        pix = arr[:, 1:]  # fast path: no per-line reconstruction needed
+    else:
+        pix = np.empty((h, w * channels), np.uint8)
+        prior = np.zeros(w * channels, np.uint8)
+        for y in range(h):
+            prior = _unfilter_scanline(int(ftypes[y]), arr[y, 1:], prior, bpp)
+            pix[y] = prior
     return pix.reshape(h, w, 3) if channels == 3 else pix.reshape(h, w)
 
 

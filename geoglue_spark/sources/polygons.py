@@ -204,7 +204,13 @@ def _read_dbf(path: str) -> list[dict[str, str]]:
         roff += 1  # deletion flag
         rec = {}
         for name, length in fields:
-            rec[name] = buf[roff : roff + length].decode("latin-1").strip()
+            raw = buf[roff : roff + length].rstrip(b"\x00 ")  # DBF pads with NUL/space
+            try:
+                # real-world tables (geoBoundaries) are UTF-8; latin-1 is the
+                # lossless legacy fallback (every byte decodes)
+                rec[name] = raw.decode("utf-8").strip()
+            except UnicodeDecodeError:
+                rec[name] = raw.decode("latin-1").strip()
             roff += length
         out.append(rec)
     return out

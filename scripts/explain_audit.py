@@ -25,6 +25,14 @@ FLAGS = {
 # equi-join and ANN-LSH the probe-signature equi-join.
 ALLOW: dict[str, set[str]] = {}
 
+# Plan fragments that MUST appear (positive assertions): the at-rest ANN
+# index only scales if the probe signatures reach the scan as a partition
+# filter — untouched buckets never listed/read.
+REQUIRE: dict[str, list[str]] = {
+    "ann_cosine_topk_indexed": ["PartitionFilters: [_sig"],
+    "admin_assign_count": ["BroadcastHashJoin"],
+}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -38,6 +46,11 @@ def main() -> int:
         plan = df._jdf.queryExecution().executedPlan().toString()
         allowed = ALLOW.get(name, set())
         flags = [msg for pat, msg in FLAGS.items() if pat in plan and pat not in allowed]
+        flags += [
+            f"missing required plan fragment {frag!r}"
+            for frag in REQUIRE.get(name, [])
+            if frag not in plan
+        ]
         n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
             "Exchange rangepartitioning"
         )

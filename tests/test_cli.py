@@ -1,0 +1,165 @@
+"""CLI surface parity (reference src/geoglue/cli.py:89-305): crop/merge
+pipeline composition via manifests, zonalstats operation defaulting +
+alias resolution, griddes/stats output."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from geoglue_spark.cli import main
+
+
+def _raster_rows(two_vars=True):
+    rows = []
+    for var in (["t2m", "tp"] if two_vars else ["t2m"]):
+        for iy in range(16):
+            for ix in range(16):
+                rows.append(
+                    (var, 100.125 + ix * 0.25, 10.125 + iy * 0.25,
+                     float(ix + iy + (100 if var == "tp" else 0)))
+                )
+    return rows
+
+
+@pytest.fixture()
+def raster_path(spark, tmp_path):
+    p = str(tmp_path / "raster.parquet")
+    spark.createDataFrame(
+        _raster_rows(), "var string, lon double, lat double, value double"
+    ).write.parquet(p)
+    return p
+
+
+@pytest.fixture()
+def region_file(tmp_path):
+    feat = {
+        "type": "Feature",
+        "properties": {"GID_2": "R0"},
+        "geometry": {"type": "Polygon", "coordinates": [
+            [[101.2, 11.2], [102.8, 11.2], [102.8, 12.8], [101.2, 12.8], [101.2, 11.2]]
+        ]},
+    }
+    p = tmp_path / "region.geojson"
+    p.write_text(json.dumps({"type": "FeatureCollection", "features": [feat]}))
+    return str(p)
+
+
+def test_crop_split_manifest_then_merge(spark, tmp_path, raster_path, capsys):
+    out = str(tmp_path / "cropped.parquet")
+    rc = main(["crop", raster_path, "101,11,103,13", "-o", out])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    # two variables -> two "crop <path>" manifest lines (reference
+    # cli.py:183-186 pipeline style)
+    assert len(lines) == 2 and all(l.startswith("crop ") for l in lines)
+    manifest = tmp_path / "manifest.txt"
+    manifest.write_text("\n".join(lines))
+    merged_path = str(tmp_path / "merged.parquet")
+    rc = main(["merge", "--file", str(manifest), "-o", merged_path])
+    assert rc == 0
+    got = spark.read.parquet(merged_path)
+    # 8x8 cells inside the bbox per variable
+    assert got.count() == 2 * 64
+    assert {r["var"] for r in got.select("var").distinct().collect()} == {"t2m", "tp"}
+    lons = [r.lon for r in got.select("lon").distinct().collect()]
+    assert min(lons) >= 101 and max(lons) <= 103
+
+
+def test_crop_bounds_from_region_name_and_path_pk(
+    spark, tmp_path, raster_path, region_file, capsys
+):
+    cfg = tmp_path / "geoglue.toml"
+    cfg.write_text(f'[region.viet]\nfile = "{region_file}"\npk = "GID_2"\n')
+    out1 = str(tmp_path / "c1.parquet")
+    assert main(["crop", raster_path, "viet", "-c", str(cfg), "-o", out1,
+                 "--no-split"]) == 0
+    out2 = str(tmp_path / "c2.parquet")
+    assert main(["crop", raster_path, f"{region_file}::GID_2", "-o", out2,
+                 "--no-split"]) == 0
+    capsys.readouterr()
+    a = spark.read.parquet(out1).count()
+    b = spark.read.parquet(out2).count()
+    # region bbox integer hull = [101,11]..[103,13] -> 8x8 cells x 2 vars
+    assert a == b == 2 * 64
+
+
+def test_crop_rejects_bounds_outside_source(raster_path, capsys):
+    assert main(["crop", raster_path, "90,0,120,30", "-o", "/tmp/nope.parquet"]) == 1
+    assert "ERROR" in capsys.readouterr().out
+
+
+def test_zonalstats_defaults_and_alias(spark, tmp_path, region_file, capsys):
+    # single-variable raster (zonalstats consumes lon/lat/value)
+    rows = [(100.125 + ix * 0.25, 10.125 + iy * 0.25, 2.0)
+            for iy in range(16) for ix in range(16)]
+    rp = str(tmp_path / "r.parquet")
+    spark.createDataFrame(rows, "lon double, lat double, value double").write.parquet(rp)
+    cfg = tmp_path / "geoglue.toml"
+    cfg.write_text(
+        '[operation]\nmymean = "mean(coverage_weight=area_spherical_km2)"\n'
+        f'[region.viet]\nfile = "{region_file}"\npk = "GID_2"\n'
+    )
+    out = str(tmp_path / "out.zs.parquet")
+    rc = main(["zonalstats", rp, "viet", "--operation", "mymean",
+               "-c", str(cfg), "-o", out])
+    assert rc == 0
+    text = capsys.readouterr().out
+    # alias resolved and echoed (reference cli.py:278-279)
+    assert "operation mean(coverage_weight=area_spherical_km2)" in text
+    assert "NA=0" in text
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and abs(got[0]["mean"] - 2.0) < 1e-9
+    assert "geoglue_config" in spark.read.parquet(out).columns
+
+
+def test_zonalstats_weighted_prefix_warning(spark, tmp_path, region_file, capsys):
+    rows = [(100.125 + ix * 0.25, 10.125 + iy * 0.25, 2.0)
+            for iy in range(16) for ix in range(16)]
+    rp = str(tmp_path / "r.parquet")
+    spark.createDataFrame(rows, "lon double, lat double, value double").write.parquet(rp)
+    wp = str(tmp_path / "w.parquet")
+    spark.createDataFrame(
+        [(r[0], r[1], 1.0) for r in rows], "lon double, lat double, weight double"
+    ).write.parquet(wp)
+    out = str(tmp_path / "out.zs.parquet")
+    rc = main(["zonalstats", rp, f"{region_file}::GID_2", "--operation", "mean",
+               "--weights", wp, "-o", out])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "WARN: Passed weights but operation is not weighted" in text
+    assert "operation weighted_mean" in text
+
+
+def test_griddes_and_stats(spark, tmp_path, raster_path, capsys):
+    assert main(["griddes", raster_path]) == 0
+    text = capsys.readouterr().out
+    assert "xsize" in text and "16" in text
+    assert main(["stats", raster_path]) == 0
+    text = capsys.readouterr().out
+    assert "rows=512" in text and "nna=0" in text
+
+
+@pytest.mark.slow
+def test_pipe_crop_into_merge_subprocess(tmp_path, raster_path):
+    """The reference pipeline style end-to-end through REAL processes:
+    ``python -m geoglue_spark crop ... | python -m geoglue_spark merge``."""
+    merged = str(tmp_path / "piped.parquet")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    cmd = (
+        f"{sys.executable} -m geoglue_spark crop {raster_path} 101,11,103,13 "
+        f"-o {tmp_path}/c.parquet | "
+        f"{sys.executable} -m geoglue_spark merge -o {merged}"
+    )
+    proc = subprocess.run(
+        cmd, shell=True, cwd="/tmp", env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert merged in proc.stdout
+    import duckdb
+
+    n = duckdb.sql(f"select count(*) from '{merged}/*.parquet'").fetchone()[0]
+    assert n == 2 * 64

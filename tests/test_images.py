@@ -140,3 +140,73 @@ def test_audio_features_plumbing(spark):
     assert abs(r.duration_sec - 1.0) < 1e-9
     assert abs(r.rms - 10000 / 2**0.5) < 100  # sine RMS = A/sqrt(2)
     assert abs(r.zcr - 2 * 440 / 16000) < 0.005  # 880 crossings/sec
+
+def test_png_filters_1_to_4_round_trip():
+    """All five PNG scanline filters (None/Sub/Up/Average/Paeth) must
+    encode -> decode bit-exactly for gray and RGB (r2 verdict #5: filters
+    1-4 were a stub)."""
+    import numpy as np
+
+    from geoglue_spark.images import decode_png, encode_png, synth_pixels
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    gray = synth_pixels(3, 23, 17)
+    rgb = synth_pixels(4, 19, 13, color=True)
+    noisy = rng.integers(0, 256, size=(11, 29), dtype=np.uint8)
+    for img in (gray, rgb, noisy):
+        for ftype in range(5):
+            buf = encode_png(img, filter_type=ftype)
+            out = decode_png(buf)
+            np.testing.assert_array_equal(out, img), ftype
+
+
+def test_png_mixed_filters_per_scanline():
+    """Decoder handles per-line filter bytes (real encoders mix filters):
+    splice scanlines filtered with different types into one IDAT."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from geoglue_spark.images import (
+        _PNG_SIG,
+        _chunk,
+        _filter_scanlines,
+        decode_png,
+        synth_pixels,
+    )
+
+    img = synth_pixels(9, 8, 5)  # (5, 8) gray
+    # filter each line y with type y % 5, chaining priors correctly
+    raw = bytearray()
+    for y in range(img.shape[0]):
+        two = _filter_scanlines(img[: y + 1], 1, y % 5)
+        # take the LAST line's filtered bytes (priors consistent)
+        raw += two[-(img.shape[1] + 1):]
+    ihdr = struct.pack(">IIBBBBB", img.shape[1], img.shape[0], 8, 0, 0, 0, 0)
+    buf = (
+        _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(buf), img)
+
+
+def test_png_filtered_through_spark_decode_path(spark):
+    """Filtered PNGs flow through the Arrow decode UDF end-to-end."""
+    import numpy as np
+
+    from geoglue_spark.images import encode_png, phash64, synth_pixels
+    from geoglue_spark.operators.multimodal import decode_stats
+
+    rows = []
+    for i, ftype in enumerate([1, 2, 3, 4]):
+        px = synth_pixels(i, 16, 16)
+        rows.append((f"f{ftype}", encode_png(px, filter_type=ftype), 16, 16,
+                     "png", f"cap {i}", phash64(px)))
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    got = decode_stats(df).collect()
+    assert len(got) == 4 and all(r.mean_px > 0 for r in got)
