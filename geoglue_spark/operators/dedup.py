@@ -30,14 +30,24 @@ _SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _scoped_cache(df: DataFrame, op: str) -> DataFrame:
-    """Cache ``df`` and release the cache left by the PREVIOUS call of the
+    """Cache ``df``; release the cache left by the PREVIOUS call of the
     same operator on the same application — repeated invocations on a
     long-lived session hold at most ONE pinned signature frame per
-    operator. :func:`release_signature_caches` frees the rest eagerly."""
+    operator. :func:`release_signature_caches` frees the rest eagerly.
+
+    Same-input reuse: when the new frame is semantically identical to the
+    cached one (Catalyst ``sameResult`` — e.g. re-running dedup over the
+    same immutable table), the live cache is RETURNED instead of evicted,
+    so signatures aren't recomputed; a different input evicts and replaces.
+    """
     key = (df.sparkSession.sparkContext.applicationId, op)
-    prev = _SIG_CACHE.pop(key, None)
+    prev = _SIG_CACHE.get(key)
     if prev is not None:
         try:
+            if prev._jdf.queryExecution().analyzed().sameResult(
+                df._jdf.queryExecution().analyzed()
+            ):
+                return prev
             prev.unpersist()
         except Exception:
             pass  # session gone / already dropped — nothing to release
@@ -532,8 +542,11 @@ def embedding_near_dupes(
     from .similarity import hyperplane_signature_udf, _normalize
 
     sig = hyperplane_signature_udf(None, n_bits)  # dim read from the data
-    with_sig = df.select(
-        F.col(id_col).alias("_id"), sig(F.col(vec_col)).alias("_sig")
+    # cached (scope-managed): both join sides read it, and the rows are
+    # 16 bytes each — without the cache the signature UDF runs twice
+    with_sig = _scoped_cache(
+        df.select(F.col(id_col).alias("_id"), sig(F.col(vec_col)).alias("_sig")),
+        "embedding",
     )
     # multiprobe equi-join (scales, unlike a non-equi self-join): the LEFT
     # side emits its signature plus every <=band_hamming-bit-flip variant;
