@@ -96,6 +96,33 @@ def parse_operations(ops: str) -> tuple[list[str], bool]:
     return names, bool(explicit.pop()) if explicit else False
 
 
+def raster_from_file(
+    spark: SparkSession,
+    path: str,
+    var: str | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Raster source dispatch by extension (reference util.py:26-73
+    read_raster: .nc -> xarray, .tif -> rioxarray): parquet scans stay the
+    native store; classic netCDF-3 and GeoTIFF load through the engine's
+    pure-NumPy codecs into the long-form pixel table. ``var`` selects the
+    netCDF variable (required for .nc)."""
+    low = path.lower()
+    if low.endswith(".parquet"):
+        return spark.read.parquet(path)
+    if low.endswith(".nc"):
+        from .sources.netcdf3 import netcdf3_to_pixels
+
+        if var is None:
+            raise ValueError("netCDF raster needs var= (e.g. 't2m')")
+        return netcdf3_to_pixels(spark, path, var)
+    if low.endswith((".tif", ".tiff")):
+        from .sources.geotiff import geotiff_to_pixels
+
+        return geotiff_to_pixels(spark, path, value_col=value_col)
+    raise ValueError(f"unsupported raster source {path!r}")
+
+
 def region_from_file(
     spark: SparkSession, path: str, pk_field: str, name_field: str | None = None
 ) -> DataFrame:
@@ -180,14 +207,14 @@ def compute_config(spark: SparkSession, cfg: ZonalJobConfig) -> str:
     pre-resample the weights per cfg.resample, compute, write the output
     parquet with the config's logfmt lineage stamped in a
     ``geoglue_config`` column. Returns the output path."""
-    pixels = spark.read.parquet(cfg.raster)
+    pixels = raster_from_file(spark, cfg.raster)
     admins = region_from_file(spark, cfg.admins, cfg.admins_pk)
     if cfg.admins_pk in admins.columns and "admin_id" not in admins.columns:
         admins = admins.withColumnRenamed(cfg.admins_pk, "admin_id")
     grid = infer_grid(pixels)
     weights = None
     if cfg.weights:
-        weights = spark.read.parquet(cfg.weights)
+        weights = raster_from_file(spark, cfg.weights, value_col="weight")
         if cfg.resample != "off":
             wgrid = infer_grid(weights)
             if not wgrid.approx_equal(grid):

@@ -103,13 +103,15 @@ def _safe_name(b: Bbox) -> str:
 def cmd_crop(args: argparse.Namespace) -> int:
     from .operators.merge import crop as crop_op
 
+    from .api import raster_from_file
+
     spark = _spark()
     cfg = _read_config(args.config)
-    pixels = spark.read.parquet(args.raster)
+    pixels = raster_from_file(spark, args.raster)
     src_bbox = _data_bbox(pixels)
     bbox = _resolve_bounds(spark, args.bounds, cfg)
     if args.cover:
-        cover_bbox = _data_bbox(spark.read.parquet(args.cover))
+        cover_bbox = _data_bbox(raster_from_file(spark, args.cover))
         while not bbox.contains(cover_bbox):
             bbox = bbox.enlarge(by=1)
         # one more cell ring so edge cells exist on all sides (cli.py:165-167)
@@ -266,8 +268,10 @@ def cmd_stats(args: argparse.Namespace) -> int:
     from .operators.validate import summary_stats
 
     spark = _spark()
+    from .api import raster_from_file
+
     for path in args.files:
-        df = spark.read.parquet(path)
+        df = raster_from_file(spark, path) if not path.endswith(".parquet") else spark.read.parquet(path)
         value_cols = [
             c for c, t in df.dtypes if t in ("double", "float") and c not in ("lon", "lat")
         ]
@@ -284,8 +288,10 @@ def cmd_stats(args: argparse.Namespace) -> int:
 
 
 def cmd_griddes(args: argparse.Namespace) -> int:
+    from .api import raster_from_file
+
     spark = _spark()
-    grid = infer_grid(spark.read.parquet(args.file))
+    grid = infer_grid(raster_from_file(spark, args.file))
     print(grid.to_griddes_text())
     return 0
 

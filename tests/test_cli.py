@@ -163,3 +163,11 @@ def test_pipe_crop_into_merge_subprocess(tmp_path, raster_path):
 
     n = duckdb.sql(f"select count(*) from '{merged}/*.parquet'").fetchone()[0]
     assert n == 2 * 64
+
+def test_griddes_on_real_worldpop_tif(capsys):
+    """Suffix dispatch end-to-end: the CLI reads a REAL WorldPop BigTIFF
+    through the pure-NumPy GeoTIFF codec and reports its CDO griddes."""
+    rc = main(["griddes", "/root/reference/data/VNM/worldpop/vnm_ppp_2020_1km_Aggregated_UNadj.tif"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "xsize" in text and "879" in text and "1781" in text
