@@ -111,10 +111,16 @@ def raster_from_file(
     if low.endswith(".parquet"):
         return spark.read.parquet(path)
     if low.endswith(".nc"):
-        from .sources.netcdf3 import netcdf3_to_pixels
-
         if var is None:
             raise ValueError("netCDF raster needs var= (e.g. 't2m')")
+        with open(path, "rb") as fh:
+            magic = fh.read(4)
+        if magic == b"\x89HDF":
+            from .sources.hdf5 import netcdf4_to_pixels
+
+            return netcdf4_to_pixels(spark, path, var)
+        from .sources.netcdf3 import netcdf3_to_pixels
+
         return netcdf3_to_pixels(spark, path, var)
     if low.endswith((".tif", ".tiff")):
         from .sources.geotiff import geotiff_to_pixels

@@ -1,0 +1,150 @@
+"""Pure-NumPy HDF5/netCDF-4 reader against the reference's REAL ERA5
+fixtures (reference tests/data/*.nc and data/VNM/era5 — the files its own
+test suite runs on). External anchors: Singapore's climate, Vietnam's
+monsoon seasonality, and the reference's pinned zonalstats magnitude."""
+
+import glob
+
+import numpy as np
+import pytest
+
+from geoglue_spark.sources.hdf5 import decode_time, netcdf4_to_pixels, read_hdf5
+
+SGP_INSTANT = "/root/reference/tests/data/SGP-2019-era5.instant.nc"
+VNM_DAILY = "/root/reference/data/VNM/era5/VNM-2020-era5.daily_sum.nc"
+WP2020 = "/root/reference/data/VNM/worldpop/vnm_ppp_2020_1km_Aggregated_UNadj.tif"
+
+
+def test_sgp_instant_decodes_to_singapore_climate():
+    """Chunked+shuffle+deflate float32 via B-tree v1: a year of hourly
+    2m temperature over Singapore must land in Singapore's climate."""
+    f = read_hdf5(SGP_INSTANT)
+    d = f.datasets["t2m"]
+    assert d.shape == (8760, 5, 9)
+    arr = d.read()
+    assert 299 < float(np.nanmean(arr)) < 302  # ~27.5 C
+    assert 290 < float(np.nanmin(arr)) and float(np.nanmax(arr)) < 315
+    np.testing.assert_allclose(
+        f.datasets["longitude"].read(), 103.0 + 0.25 * np.arange(9)
+    )
+    np.testing.assert_allclose(f.datasets["latitude"].read(), 2.0 - 0.25 * np.arange(5))
+
+
+def test_dense_attribute_storage_and_cf_time():
+    """netCDF-4 writes variable attrs into fractal-heap dense storage —
+    units/calendar must come through, and CF time decodes end to end."""
+    f = read_hdf5(SGP_INSTANT)
+    t = f.datasets["valid_time"]
+    assert t.attrs["units"] == "seconds since 1970-01-01"
+    assert t.attrs["calendar"] == "proleptic_gregorian"
+    times = decode_time(t.read(), t.attrs["units"])
+    assert str(times[0]) == "2019-01-01T00:00:00"
+    assert str(times[-1]) == "2019-12-31T23:00:00"
+    # global attrs decode too (inline messages on the root header)
+    assert f.root_attrs["Conventions"].startswith("CF-")
+
+
+def test_every_reference_nc_fixture_parses():
+    """All 20+ real ERA5 files the reference ships: main variable reads,
+    time axis decodes monotonically, grid axes match the data shape."""
+    paths = sorted(
+        glob.glob("/root/reference/tests/data/*.nc")
+        + glob.glob("/root/reference/data/VNM/era5/*.nc")
+    )
+    assert len(paths) >= 20
+    for p in paths:
+        f = read_hdf5(p)
+        main = [n for n, d in f.datasets.items()
+                if n not in ("valid_time", "latitude", "longitude", "number", "expver", "surface")]
+        assert main, p
+        d = f.datasets[main[0]]
+        arr = d.read()
+        lat = f.datasets["latitude"].read()
+        lon = f.datasets["longitude"].read()
+        assert arr.shape[-2:] == (lat.size, lon.size), p
+        assert np.isfinite(arr).mean() > 0.9, p
+        t = f.datasets["valid_time"]
+        times = decode_time(t.read(), t.attrs["units"])
+        assert (np.diff(times.astype("int64")) > 0).all(), p
+
+
+def test_vnm_monsoon_seasonality():
+    """The 2020 daily tp field shows Vietnam's wet season (Aug-Oct ≫
+    Jan-Feb) — a physical-plausibility anchor for the chunk assembly."""
+    f = read_hdf5(VNM_DAILY)
+    a = f.datasets["tp"].read()
+    assert a.shape == (366, 65, 33)
+    jan = float(np.nanmean(a[:31]))
+    sep_oct = float(np.nanmean(a[244:305]))
+    assert sep_oct > 3 * jan
+
+
+def test_netcdf4_to_pixels_spark(spark):
+    df = netcdf4_to_pixels(spark, SGP_INSTANT, "t2m")
+    assert df.count() == 8760 * 45
+    from pyspark.sql import functions as F
+
+    row = df.agg(F.avg("value").alias("m"), F.count_distinct("time").alias("nt")).collect()[0]
+    assert 299 < row.m < 302 and row.nt == 8760
+    from geoglue_spark.grids import infer_grid
+
+    g = infer_grid(df.filter("time = timestamp'2019-01-01 00:00:00'"))
+    assert (g.nx, g.ny) == (9, 5)
+
+
+@pytest.mark.slow
+def test_reference_zonalstats_flow_all_real_inputs(spark):
+    """The reference's own zonalstats test flow (tests/test_zonalstats.py:
+    65-73) with ALL real inputs: ERA5 tp 2020-01-01 -> remapdis onto the
+    WorldPop grid -> population-weighted_sum per admin. The reference pins
+    max == 2269 at ADM2 (geometry the repo doesn't ship); weighted_sum is
+    additive over the ADM2 partition, so the ADM1 max must dominate it."""
+    from pyspark.sql import functions as F
+
+    from geoglue_spark.cover import build_cover
+    from geoglue_spark.grids import Grid, infer_grid
+    from geoglue_spark.operators.resample import resample_distance
+    from geoglue_spark.operators.zonal import raster_zonal_stats
+    from geoglue_spark.sources.geotiff import geotiff_to_pixels, read_geotiff
+    from geoglue_spark.sources.polygons import read_shapefile
+
+    day1 = netcdf4_to_pixels(spark, VNM_DAILY, "tp").filter(
+        "time = timestamp'2020-01-01 00:00:00'"
+    )
+    src_grid = infer_grid(day1)
+    gt = read_geotiff(WP2020)
+    sx, sy = gt.pixel_scale
+    wp_grid = Grid(
+        x0=gt.tiepoint[3], dx=sx, nx=gt.width,
+        y0=gt.tiepoint[4] - gt.height * sy, dy=sy, ny=gt.height,
+    )
+    resampled = resample_distance(day1, src_grid, wp_grid, k=4, ring=1)
+    weights = geotiff_to_pixels(spark, WP2020, value_col="weight")
+    admins = read_shapefile(
+        spark,
+        "/root/reference/data/VNM/geoboundaries/geoBoundaries-VNM-ADM1.shp",
+        "shapeID", "shapeName",
+    )
+    cover = build_cover(admins, wp_grid, supersample=4)
+    out = raster_zonal_stats(
+        resampled, cover, wp_grid, ops=["weighted_sum"], by_dims=[],
+        weights=weights, use_spherical_area=False, check_extent=False,
+    ).collect()
+    vals = {r.admin_id: r.weighted_sum for r in out}
+    assert len(vals) >= 60
+    assert all(v >= 0 for v in vals.values())
+    total = sum(vals.values())
+    mx = max(vals.values())
+    # ADM1 max dominates the reference's pinned ADM2 max (2269), modulo
+    # CDO-vs-engine remapdis kernel differences -> 20% slack
+    assert mx >= 2269 * 0.8, mx
+    assert mx <= total
+
+
+def test_raster_from_file_dispatches_netcdf4(spark):
+    """.nc suffix dispatch sniffs the magic: HDF5 containers route to the
+    netCDF-4 reader (classic files keep the netCDF-3 path)."""
+    from geoglue_spark.api import raster_from_file
+
+    df = raster_from_file(spark, SGP_INSTANT, var="t2m")
+    assert df.count() == 8760 * 45
