@@ -126,6 +126,17 @@ def raster_from_file(
         from .sources.geotiff import geotiff_to_pixels
 
         return geotiff_to_pixels(spark, path, value_col=value_col)
+    if low.endswith((".grib", ".grb", ".grib1")):
+        from .sources.grib1 import PARAM_NAMES, grib1_to_pixels
+
+        params = None
+        if var is not None:
+            ids = {pid for pid, nm in PARAM_NAMES.items() if nm == var}
+            params = ids or None
+        df = grib1_to_pixels(spark, path, params)
+        if var is not None:
+            df = df.filter(df["var"] == var)
+        return df.drop("var").withColumnRenamed("value", value_col) if value_col != "value" else df.drop("var")
     raise ValueError(f"unsupported raster source {path!r}")
 
 
