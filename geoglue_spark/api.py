@@ -224,7 +224,7 @@ def compute_config(spark: SparkSession, cfg: ZonalJobConfig) -> str:
     pre-resample the weights per cfg.resample, compute, write the output
     parquet with the config's logfmt lineage stamped in a
     ``geoglue_config`` column. Returns the output path."""
-    pixels = raster_from_file(spark, cfg.raster)
+    pixels = raster_from_file(spark, cfg.raster, var=cfg.var)
     admins = region_from_file(spark, cfg.admins, cfg.admins_pk)
     if cfg.admins_pk in admins.columns and "admin_id" not in admins.columns:
         admins = admins.withColumnRenamed(cfg.admins_pk, "admin_id")

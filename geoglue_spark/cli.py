@@ -235,6 +235,7 @@ def cmd_zonalstats(args: argparse.Namespace) -> int:
         operation=op,
         weights=args.weights,
         resample=args.resample,
+        var=args.var,
     )
     for p in (cfg.raster, cfg.admins, cfg.weights):
         if p and not os.path.exists(p):
@@ -326,6 +327,7 @@ def build_parser() -> argparse.ArgumentParser:
     z.add_argument("raster")
     z.add_argument("region", help="config region name or <polygons>::<pk>")
     z.add_argument("--operation")
+    z.add_argument("--var", help="netCDF/GRIB variable when RASTER is .nc/.grib")
     z.add_argument("--weights")
     z.add_argument("--resample", default="off",
                    choices=["remapdis", "remapbil", "sremapbil", "bilinear",

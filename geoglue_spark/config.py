@@ -37,11 +37,15 @@ class ZonalJobConfig:
     operation: str
     weights: str | None = None
     resample: str = "off"
+    var: str | None = None  # netCDF/GRIB variable to read from ``raster``
 
     def lineage(self) -> str:
         """Canonical logfmt line (the reference's __str__, config.py:146-161)."""
         keys = ("raster", "admins", "admins_pk", "output", "operation", "weights", "resample")
-        return " ".join(f"{k}={logfmt_escape(getattr(self, k))}" for k in keys)
+        line = " ".join(f"{k}={logfmt_escape(getattr(self, k))}" for k in keys)
+        if self.var:
+            line += f" var={logfmt_escape(self.var)}"
+        return line
 
     __str__ = lineage
 
@@ -67,6 +71,7 @@ class ZonalJobConfig:
             operation=kv["operation"],
             weights=weights,
             resample=kv.get("resample", "off"),
+            var=kv.get("var") or None,
         )
 
 

@@ -171,3 +171,41 @@ def test_griddes_on_real_worldpop_tif(capsys):
     assert rc == 0
     text = capsys.readouterr().out
     assert "xsize" in text and "879" in text and "1781" in text
+
+
+@pytest.mark.slow
+def test_zonalstats_cli_all_real_inputs(spark, tmp_path, capsys):
+    """Reference CLI muscle memory with all-real inputs: one day of real
+    ERA5 precipitation (staged to parquet), the reference's HCM district
+    shapefile (167 communes, pk ma_xa), real WorldPop weights, remapdis
+    pre-resample — one command, logfmt progress lines, lineage round-trip
+    with the var field."""
+    from geoglue_spark.config import read_job_configs
+    from geoglue_spark.sources.hdf5 import netcdf4_to_pixels
+
+    day1 = netcdf4_to_pixels(
+        spark, "/root/reference/data/VNM/era5/VNM-2020-era5.daily_sum.nc", "tp"
+    ).filter("time = timestamp'2020-10-01 00:00:00'").drop("time")
+    rp = str(tmp_path / "tp_day.parquet")
+    day1.write.parquet(rp)
+    out = str(tmp_path / "tp.zs.parquet")
+    rc = main([
+        "zonalstats", rp,
+        "/root/reference/data/HCM/geoboundaries/HCM-2.shp::ma_xa",
+        "--weights", "/root/reference/data/VNM/worldpop/vnm_ppp_2020_1km_Aggregated_UNadj.tif",
+        "--resample", "remapdis", "-o", out,
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "operation weighted_mean(coverage_weight=area_spherical_km2)" in text
+    got = spark.read.parquet(out)
+    rows = got.collect()
+    # most of HCMC's 167 communes get a value (tiny urban communes can
+    # miss every 1km weight pixel center)
+    assert len(rows) > 120
+    vals = [r["weighted_mean"] for r in rows if r["weighted_mean"] is not None]
+    assert all(v >= 0 for v in vals)
+    assert max(vals) < 0.2  # daily precip in meters stays physical
+    # lineage round-trips through the output column
+    cfgs = read_job_configs(rows[0]["geoglue_config"])
+    assert cfgs[0].weights and cfgs[0].resample == "remapdis"

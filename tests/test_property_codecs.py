@@ -1,0 +1,107 @@
+"""Property-based round-trips (hypothesis) for the pure-NumPy codecs:
+PNG scanline filters, TIFF-LZW, classic netCDF-3 — random shapes, dtypes
+and byte distributions, no Spark session needed."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geoglue_spark.images import decode_png, encode_png
+from geoglue_spark.sources.geotiff import _lzw_decode
+from geoglue_spark.sources.netcdf3 import read_netcdf3, write_netcdf3
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    color=st.booleans(),
+    ftype=st.integers(0, 4),
+)
+def test_png_filter_round_trip(seed, h, w, color, ftype):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(img, filter_type=ftype)), img)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Independent TIFF-LZW compressor (public spec; width switch paired
+    with the decoder, which is externally anchored by GDAL-written files)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    out, bitbuf, nbits = bytearray(), 0, 0
+
+    def emit(code, w):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << w) | code
+        nbits += w
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            bitbuf &= (1 << nbits) - 1
+
+    emit(256, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:  # table nearly full: emit Clear and reset
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(0, 30000),
+    alphabet=st.integers(1, 256),
+)
+def test_tiff_lzw_round_trip(seed, n, alphabet):
+    """Low-alphabet payloads force deep LZW tables (width growth through
+    10/11/12 bits and the Clear-code reset path)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    payload = bytes(rng.integers(0, alphabet, n, dtype=np.uint8))
+    assert _lzw_decode(_lzw_encode(payload)) == payload
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    ny=st.integers(1, 20),
+    nx=st.integers(1, 20),
+    dt=st.sampled_from(["f8", "f4", "i4", "i2", "i1"]),
+)
+def test_netcdf3_round_trip(tmp_path_factory, seed, ny, nx, dt):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    if dt.startswith("f"):
+        arr = rng.standard_normal((ny, nx)).astype(dt)
+    else:
+        info = np.iinfo(dt)
+        arr = rng.integers(info.min, info.max, (ny, nx)).astype(dt)
+    path = str(tmp_path_factory.mktemp("nc") / "r.nc")
+    write_netcdf3(
+        path,
+        dims=[("y", ny), ("x", nx)],
+        variables={"v": (["y", "x"], arr)},
+        attrs={"seed": np.int32(seed % 2**31)},
+    )
+    nc = read_netcdf3(path)
+    np.testing.assert_array_equal(nc.data["v"], arr)
+    assert nc.data["v"].dtype == np.dtype(dt)
