@@ -134,9 +134,13 @@ def raster_from_file(
             ids = {pid for pid, nm in PARAM_NAMES.items() if nm == var}
             params = ids or None
         df = grib1_to_pixels(spark, path, params)
-        if var is not None:
-            df = df.filter(df["var"] == var)
-        return df.drop("var").withColumnRenamed("value", value_col) if value_col != "value" else df.drop("var")
+        if var is None:
+            # multi-parameter file: KEEP the var column — crop's
+            # per-variable split keys on it, and dropping it would silently
+            # mix physically different variables into one value column
+            return df if value_col == "value" else df.withColumnRenamed("value", value_col)
+        df = df.filter(df["var"] == var).drop("var")
+        return df if value_col == "value" else df.withColumnRenamed("value", value_col)
     raise ValueError(f"unsupported raster source {path!r}")
 
 

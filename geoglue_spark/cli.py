@@ -107,13 +107,17 @@ def cmd_crop(args: argparse.Namespace) -> int:
 
     spark = _spark()
     cfg = _read_config(args.config)
-    pixels = raster_from_file(spark, args.raster)
+    pixels = raster_from_file(spark, args.raster, var=args.var)
     src_bbox = _data_bbox(pixels)
     bbox = _resolve_bounds(spark, args.bounds, cfg)
     if args.cover:
-        cover_bbox = _data_bbox(raster_from_file(spark, args.cover))
+        cover_bbox = _data_bbox(raster_from_file(spark, args.cover, var=args.var))
         while not bbox.contains(cover_bbox):
-            bbox = bbox.enlarge(by=1)
+            grown = bbox.enlarge(by=1)
+            if grown == bbox:  # clamped at the sphere and still short:
+                print(f"ERROR: cannot enlarge {bbox} to cover {cover_bbox}")
+                return 1
+            bbox = grown
         # one more cell ring so edge cells exist on all sides (cli.py:165-167)
         bbox = bbox.enlarge(by=1)
     if not src_bbox.contains(bbox):
@@ -272,7 +276,7 @@ def cmd_stats(args: argparse.Namespace) -> int:
     from .api import raster_from_file
 
     for path in args.files:
-        df = raster_from_file(spark, path) if not path.endswith(".parquet") else spark.read.parquet(path)
+        df = raster_from_file(spark, path, var=args.var) if not path.endswith(".parquet") else spark.read.parquet(path)
         value_cols = [
             c for c, t in df.dtypes if t in ("double", "float") and c not in ("lon", "lat")
         ]
@@ -292,7 +296,10 @@ def cmd_griddes(args: argparse.Namespace) -> int:
     from .api import raster_from_file
 
     spark = _spark()
-    grid = infer_grid(raster_from_file(spark, args.file))
+    df = raster_from_file(spark, args.file, var=args.var)
+    if "var" in df.columns:  # multi-parameter GRIB: any variable, same grid
+        df = df.filter(df["var"] == df.select("var").first()[0])
+    grid = infer_grid(df)
     print(grid.to_griddes_text())
     return 0
 
@@ -312,6 +319,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("bounds", help="bbox 'minx,miny,maxx,maxy', config region name, or path::pk")
     c.add_argument("--split", action=argparse.BooleanOptionalAction, default=True,
                    help="split output by variable")
+    c.add_argument("--var", help="netCDF/GRIB variable when RASTER is .nc/.grib")
     c.add_argument("--cover", help="raster the cropped output must cover")
     c.add_argument("-o", "--output")
     c.add_argument("-c", "--config")
@@ -338,10 +346,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("stats", help="Show statistics for result files")
     s.add_argument("files", nargs="+")
+    s.add_argument("--var", help="netCDF/GRIB variable when a file is .nc/.grib")
     s.set_defaults(fn=cmd_stats)
 
     g = sub.add_parser("griddes", help="Show CDO grid description for a file")
     g.add_argument("file")
+    g.add_argument("--var", help="netCDF/GRIB variable when FILE is .nc/.grib")
     g.set_defaults(fn=cmd_griddes)
     return p
 

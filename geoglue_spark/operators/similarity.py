@@ -133,8 +133,7 @@ def _query_probes_and_vecs(
 ) -> tuple[list[tuple[int, int]], dict[int, np.ndarray]]:
     """(query_id, probe_sig) rows + normalized query vectors, from the SAME
     deterministic hyperplanes as hyperplane_signature_udf (seed 42)."""
-    rng = np.random.Generator(np.random.PCG64(42))
-    planes = rng.standard_normal((dim, n_bits))
+    planes = _hyperplanes(dim, n_bits, 42)
     masks = _probe_masks(n_bits, probe_hamming)
     probe_rows: list[tuple[int, int]] = []
     qvecs: dict[int, np.ndarray] = {}

@@ -179,12 +179,13 @@ def read_geotiff(path: str, band: int = 0) -> GeoTiff:
             else:
                 (n,) = struct.unpack_from(bo + "I", buf, eo + 4)
                 val_off = eo + 8
-            if typ not in _TYPE:
-                continue
-            fmt, sz = _TYPE[typ]
-            total = n * sz
-            if typ == 5:  # RATIONAL
+            if typ == 5:  # RATIONAL: n pairs of u32 (numerator, denominator)
                 fmt, sz, total = "II", 8, n * 8
+            elif typ in _TYPE:
+                fmt, sz = _TYPE[typ]
+                total = n * sz
+            else:
+                continue
             src = val_off if total <= inline else (
                 struct.unpack_from(bo + ("Q" if big else "I"), buf, val_off)[0]
             )

@@ -73,7 +73,7 @@ class H5File:
             flags = buf[off + 5]
             p = off + 6
             if flags & 0x20:
-                p += 8
+                p += 16  # access/mod/change/birth times, 4 bytes each
             if flags & 0x10:
                 p += 4
             c0 = 1 << (flags & 3)
@@ -167,8 +167,6 @@ class H5File:
                     walk(child)
                     p += 16  # child + key
                 return
-            for i in range(n):
-                snod = self.u(p + 8 + i * 16, 8) if False else None
             # leaf: children are SNOD blocks
             q = node + 24 + 8
             for _ in range(n):
@@ -538,8 +536,6 @@ def _cf_unpack(ds: H5Dataset, arr: np.ndarray) -> np.ndarray:
         fv = np.frombuffer(ds._fillvalue[: ds.dtype.itemsize], ds.dtype)[0].item()
     if fv is not None and not (isinstance(fv, float) and np.isnan(fv)):
         out = np.where(np.asarray(arr) == fv, np.nan, out)
-    else:
-        out = np.where(np.isnan(out), np.nan, out)
     if "scale_factor" in ds.attrs or "add_offset" in ds.attrs:
         out = out * float(ds.attrs.get("scale_factor", 1.0)) + float(
             ds.attrs.get("add_offset", 0.0)

@@ -149,10 +149,16 @@ def read_netcdf3(path: str, load: bool = True) -> NcFile:
             vsize = r.u32()
             begin = r.u64() if version == 2 else r.u32()
             variables[nm] = NcVariable(nm, dim_ids, vatts, nc_type, vsize, begin)
+    rec_vars = [v for v in variables.values() if _is_record(v, dims)]
+    recsize = sum(v.vsize for v in rec_vars)
+    if numrecs == 0xFFFFFFFF:  # STREAMING: compute from the file size
+        if rec_vars and recsize:
+            first = min(v.begin for v in rec_vars)
+            numrecs = (len(buf) - first) // recsize
+        else:
+            numrecs = 0
     nc = NcFile(dims, gatts, variables, numrecs, version)
     if load:
-        rec_vars = [v for v in variables.values() if _is_record(v, dims)]
-        recsize = sum(v.vsize for v in rec_vars)
         for v in variables.values():
             nc.data[v.name] = _load_var(buf, v, dims, numrecs, recsize, len(rec_vars))
     return nc
@@ -196,12 +202,12 @@ def _load_var(
 def write_netcdf3(
     path: str,
     dims: list[tuple[str, int]],
-    variables: dict[str, tuple[list[str], np.ndarray]],
+    variables: dict,
     attrs: dict | None = None,
 ) -> str:
     """Write a classic CDF-1 file of FIXED-size variables.
-    ``variables``: name -> (dim names, array); dtype one of
-    int8/int16/int32/float32/float64."""
+    ``variables``: name -> (dim names, array[, var attrs dict]); dtype one
+    of int8/int16/int32/float32/float64."""
 
     def name_bytes(s: str) -> bytes:
         b = s.encode()
@@ -234,8 +240,9 @@ def write_netcdf3(
     header.append(struct.pack(">II", NC_VARIABLE, len(variables)))
     # first pass with placeholder begins to learn the header size
     var_entries = []
-    for nm, (vdims, arr) in variables.items():
-        arr = np.asarray(arr)
+    for nm, spec in variables.items():
+        vdims, arr = spec[0], np.asarray(spec[1])
+        vattrs = spec[2] if len(spec) > 2 else {}
         t = _REV_TYPES[arr.dtype.newbyteorder("=")]
         vsize = arr.size * _TYPES[t][1]
         vsize += _pad4(vsize)
@@ -243,7 +250,7 @@ def write_netcdf3(
             name_bytes(nm)
             + struct.pack(">I", len(vdims))
             + b"".join(struct.pack(">I", dim_index[d]) for d in vdims)
-            + att_bytes({})
+            + att_bytes(vattrs)
             + struct.pack(">II", t, vsize)
         )
         var_entries.append((ent, t, arr, vsize))
@@ -301,13 +308,29 @@ def netcdf3_to_pixels(
     if arr.ndim == 3:
         import pandas as pd
 
-        t = np.asarray(nc.data[time_name]) if time_name in nc.data else np.arange(arr.shape[0])
+        # CF units on the time coordinate -> a real 'time' timestamp column
+        # (the name every downstream by_dims/resample path keys on,
+        # matching netcdf4_to_pixels); raw indices fall back to 'time_idx'
+        tvals = np.asarray(nc.data[time_name]) if time_name in nc.data else np.arange(arr.shape[0])
+        units = (
+            nc.variables[time_name].attrs.get("units")
+            if time_name in nc.variables
+            else None
+        )
+        if units and " since " in str(units):
+            from .hdf5 import decode_time
+
+            stamps = decode_time(tvals, str(units))
+            tcol = lambda i: ("time", pd.Timestamp(stamps[i]))
+        else:
+            tcol = lambda i: ("time_idx", np.int64(tvals[i]))
         frames = []
         for i in range(arr.shape[0]):
+            k, v = tcol(i)
             frames.append(
                 pd.DataFrame(
                     {
-                        "time_idx": np.int64(t[i]),
+                        k: v,
                         "lon": glon.ravel(),
                         "lat": glat.ravel(),
                         "value": arr[i].ravel(),

@@ -65,3 +65,13 @@ def test_distributed_and_dispatch(spark):
 
     d2 = raster_from_file(spark, GRIB, var="t2m")
     assert d2.count() == 8760 * 45
+
+
+def test_raster_from_file_keeps_var_for_multiparam_grib(spark):
+    """var=None on a multi-parameter GRIB keeps the 'var' column (review
+    regression: it was dropped, mixing t2m with tp in one value column)."""
+    from geoglue_spark.api import raster_from_file
+
+    df = raster_from_file(spark, GRIB)
+    assert "var" in df.columns
+    assert df.select("var").distinct().count() == 2

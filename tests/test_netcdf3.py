@@ -170,3 +170,62 @@ def test_record_variable_layout():
         )
     finally:
         os.unlink(path)
+
+
+def test_streaming_numrecs_sentinel():
+    """numrecs=0xFFFFFFFF (STREAMING) is computed from the file size
+    (review regression: the sentinel used to flow into np.empty)."""
+    name_v = b"\x00\x00\x00\x01v\x00\x00\x00"
+    name_time = b"\x00\x00\x00\x04time"
+    name_x = b"\x00\x00\x00\x01x\x00\x00\x00"
+    header = b"CDF\x01" + struct.pack(">I", 0xFFFFFFFF)
+    header += struct.pack(">II", NC_DIMENSION, 2)
+    header += name_time + struct.pack(">I", 0)
+    header += name_x + struct.pack(">I", 2)
+    header += struct.pack(">II", 0, 0)
+    header += struct.pack(">II", NC_VARIABLE, 1)
+    begin = len(header) + len(name_v) + 4 + 8 + 8 + 8 + 4
+    header += (
+        name_v + struct.pack(">I", 2) + struct.pack(">II", 0, 1)
+        + struct.pack(">II", 0, 0) + struct.pack(">II", 5, 8)
+        + struct.pack(">I", begin)
+    )
+    data = np.arange(6, dtype=">f4").tobytes()  # 3 records worth
+    import os, tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".nc", delete=False) as fh:
+        fh.write(header + data)
+        path = fh.name
+    try:
+        nc = read_netcdf3(path)
+        assert nc.numrecs == 3
+        np.testing.assert_array_equal(
+            nc.data["v"], np.arange(6, dtype=np.float32).reshape(3, 2)
+        )
+    finally:
+        os.unlink(path)
+
+
+def test_3d_with_cf_units_emits_time_column(spark, tmp_path):
+    """A (time, lat, lon) classic file whose time coord carries CF units
+    must emit a real 'time' timestamp column — the name zonalstats'
+    by_dims and resample dims key on (review regression: it was
+    'time_idx', silently pooling hours)."""
+    lon = np.array([100.0, 100.25])
+    lat = np.array([10.0, 10.25])
+    tvals = np.array([0, 24], np.int32)  # hours since epoch
+    arr = np.arange(8, dtype=np.float64).reshape(2, 2, 2)
+    write_netcdf3(
+        str(tmp_path / "t.nc"),
+        dims=[("time", 2), ("latitude", 2), ("longitude", 2)],
+        variables={
+            "time": (["time"], tvals, {"units": "hours since 1970-01-01"}),
+            "latitude": (["latitude"], lat),
+            "longitude": (["longitude"], lon),
+            "t2m": (["time", "latitude", "longitude"], arr),
+        },
+    )
+    df = netcdf3_to_pixels(spark, str(tmp_path / "t.nc"), "t2m", time_name="time")
+    assert "time" in df.columns and "time_idx" not in df.columns
+    times = sorted(r.time for r in df.select("time").distinct().collect())
+    assert str(times[0]).startswith("1970-01-01 00") and str(times[1]).startswith("1970-01-02 00")
