@@ -586,3 +586,51 @@ def netcdf4_to_pixels(
             )
         )
     return spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+
+def read_netcdf4_distributed(
+    spark,
+    paths: list[str],
+    var: str,
+    lon_name: str = "longitude",
+    lat_name: str = "latitude",
+    time_name: str = "valid_time",
+):
+    """Many netCDF-4 files parsed ON THE EXECUTORS via mapInPandas — the
+    same 100-TB fan-out shape as the netCDF-3/GeoTIFF/GRIB1 sources (an
+    ERA5 archive is one file per month/year/variable)."""
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                f = read_hdf5(p)
+                v = f.datasets[var]
+                arr = _cf_unpack(v, v.read())
+                if arr.ndim == 2:
+                    arr = arr[None, ...]
+                lon = np.asarray(f.datasets[lon_name].read(), np.float64)
+                lat = np.asarray(f.datasets[lat_name].read(), np.float64)
+                glon, glat = np.meshgrid(lon, lat)
+                t = f.datasets[time_name]
+                times = decode_time(
+                    t.read(), t.attrs.get("units", "seconds since 1970-01-01")
+                )
+                for i in range(arr.shape[0]):
+                    yield pd.DataFrame(
+                        {
+                            "src": p,
+                            "time": pd.Timestamp(times[i]),
+                            "lon": glon.ravel(),
+                            "lat": glat.ravel(),
+                            "value": arr[i].ravel(),
+                        }
+                    )
+
+    plist = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        max(1, min(len(paths), spark.sparkContext.defaultParallelism))
+    )
+    return plist.mapInPandas(
+        parse, "src string, time timestamp, lon double, lat double, value double"
+    )

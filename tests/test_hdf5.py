@@ -148,3 +148,26 @@ def test_raster_from_file_dispatches_netcdf4(spark):
 
     df = raster_from_file(spark, SGP_INSTANT, var="t2m")
     assert df.count() == 8760 * 45
+
+
+def test_distributed_parse_real_netcdf4_files(spark):
+    """Multiple real ERA5 years parsed on executors (mapInPandas) —
+    same fan-out shape as the other codecs."""
+    paths = [
+        "/root/reference/tests/data/SGP-2019-era5.instant.nc",
+        "/root/reference/tests/data/SGP-2020-era5.instant.nc",
+        "/root/reference/tests/data/SGP-2021-era5.instant.nc",
+    ]
+    from geoglue_spark.sources.hdf5 import read_netcdf4_distributed
+    from pyspark.sql import functions as F
+
+    df = read_netcdf4_distributed(spark, paths, "t2m")
+    agg = df.groupBy("src").agg(
+        F.count("*").alias("n"), F.avg("value").alias("m")
+    ).collect()
+    assert len(agg) == 3
+    for r in agg:
+        assert r.n in (8760 * 45, 8784 * 45)  # 2020 is a leap year
+        assert 299 < r.m < 302
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
