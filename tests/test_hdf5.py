@@ -171,3 +171,50 @@ def test_distributed_parse_real_netcdf4_files(spark):
         assert 299 < r.m < 302
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
+
+
+@pytest.mark.slow
+def test_incremental_era5_archive_ingest_real_files(spark, tmp_path):
+    """The reference's CDS update flow (skip-committed years, always
+    reprocess the trailing partial month) over its REAL ERA5 archive:
+    BRB 2019/2020 full years + the 2025-06 partial month, each parsed on
+    executors, daily-reduced, and committed via the manifest."""
+    from pyspark.sql import functions as F
+
+    from geoglue_spark.sources.hdf5 import read_netcdf4_distributed
+    from geoglue_spark.streaming.incremental import CheckpointManifest, run_incremental
+
+    files = {
+        "2019": "/root/reference/tests/data/BRB-2019-era5.accum.nc",
+        "2020": "/root/reference/tests/data/BRB-2020-era5.accum.nc",
+        "2025-06": "/root/reference/tests/data/BRB-2025-06_part-era5.accum.nc",
+    }
+
+    def process(part: str):
+        px = read_netcdf4_distributed(spark, [files[part]], "tp")
+        return (
+            px.groupBy(F.to_date("time").alias("date"), "lon", "lat")
+            .agg(F.sum("value").alias("tp_daily"))
+        )
+
+    manifest = CheckpointManifest(str(tmp_path / "manifest"))
+    out = str(tmp_path / "daily")
+    done = run_incremental(
+        spark, list(files), process, out, manifest,
+        open_partitions={"2025-06"},
+        lineage="src=brb-era5",
+    )
+    assert done == ["2019", "2020", "2025-06"]
+    got = spark.read.parquet(out)
+    days = {r.part: r.n for r in got.groupBy("part").agg(F.count_distinct("date").alias("n")).collect()}
+    assert days["2019"] == 365 and days["2020"] == 366
+    assert 0 < days["2025-06"] < 31  # genuinely partial month
+    # second run: committed years SKIP, the open partial month reprocesses
+    done2 = run_incremental(
+        spark, list(files), process, out, manifest,
+        open_partitions={"2025-06"}, lineage="src=brb-era5",
+    )
+    assert done2 == ["2025-06"]
+    m = manifest.metrics(spark).collect()
+    assert {r.partition for r in m} == {"2019", "2020", "2025-06"}
+    assert all(r.rows_per_sec > 0 for r in m)
