@@ -529,15 +529,23 @@ def read_hdf5(path: str) -> H5File:
     return f
 
 
+def _scalar(v) -> float:
+    """Attribute values may arrive as size-1 arrays — normalize to float."""
+    a = np.asarray(v, np.float64).ravel()
+    return float(a[0]) if a.size else float("nan")
+
+
 def _cf_unpack(ds: H5Dataset, arr: np.ndarray) -> np.ndarray:
     out = np.asarray(arr, np.float64)
     fv = ds.attrs.get("_FillValue")
     if fv is None and ds._fillvalue is not None and isinstance(ds.dtype, np.dtype):
         fv = np.frombuffer(ds._fillvalue[: ds.dtype.itemsize], ds.dtype)[0].item()
-    if fv is not None and not (isinstance(fv, float) and np.isnan(fv)):
-        out = np.where(np.asarray(arr) == fv, np.nan, out)
+    if fv is not None:
+        fvf = _scalar(fv)
+        if not np.isnan(fvf):
+            out = np.where(np.asarray(arr) == fvf, np.nan, out)
     if "scale_factor" in ds.attrs or "add_offset" in ds.attrs:
-        out = out * float(ds.attrs.get("scale_factor", 1.0)) + float(
+        out = out * _scalar(ds.attrs.get("scale_factor", 1.0)) + _scalar(
             ds.attrs.get("add_offset", 0.0)
         )
     return out
@@ -569,6 +577,12 @@ def netcdf4_to_pixels(
     lon = np.asarray(f.datasets[lon_name].read(), np.float64)
     lat = np.asarray(f.datasets[lat_name].read(), np.float64)
     glon, glat = np.meshgrid(lon, lat)
+    if arr.ndim == 2 and time_name not in f.datasets:
+        # time-less 2-D raster (e.g. an NDVI composite): no time column
+        pdf = pd.DataFrame(
+            {"lon": glon.ravel(), "lat": glat.ravel(), "value": arr.ravel()}
+        )
+        return spark.createDataFrame(pdf)
     if arr.ndim == 2:
         arr = arr[None, ...]
     t = f.datasets[time_name]

@@ -218,3 +218,58 @@ def test_incremental_era5_archive_ingest_real_files(spark, tmp_path):
     m = manifest.metrics(spark).collect()
     assert {r.partition for r in m} == {"2019", "2020", "2025-06"}
     assert all(r.rows_per_sec > 0 for r in m)
+
+
+@pytest.mark.slow
+def test_reference_ndvi_resample_invariants_real_data(spark):
+    """The reference's resample test (tests/test_resample.py:32-67) on its
+    REAL inputs: 333m SGP NDVI (uint8 + CF packing + flag codes) resampled
+    onto the 1km population grid with remapbil AND sremapbil. Reference
+    pins: output shape (37, 59); sremapbil has FEWER NAs; every remapbil
+    non-NA cell is non-NA under sremapbil."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from geoglue_spark.grids import Grid, infer_grid
+    from geoglue_spark.operators.resample import (
+        resample_bilinear,
+        resample_sparse_bilinear,
+    )
+    from geoglue_spark.sources.geotiff import read_geotiff
+
+    ndvi = netcdf4_to_pixels(spark, "/root/reference/data/SGP/SGP-ndvi-2015.nc", "NDVI")
+    # the reference masks values > 0.93 (flag codes decode above that) —
+    # same crude mask applied here for parity (test_resample.py:38-41)
+    ndvi = ndvi.withColumn(
+        "value", F.when(F.col("value") <= 0.93, F.col("value"))
+    )
+    src = infer_grid(ndvi)
+    assert (src.nx, src.ny) == (1344, 1008)
+    gt = read_geotiff("/root/reference/data/SGP/sgp_pop_2015_CN_1km_R2025A_UA_v1.tif")
+    sx, sy = gt.pixel_scale
+    tgt = Grid(
+        x0=gt.tiepoint[3], dx=sx, nx=gt.width,
+        y0=gt.tiepoint[4] - gt.height * sy, dy=sy, ny=gt.height,
+    )
+    assert (gt.height, gt.width) == (37, 59)  # the reference's pinned shape
+    remapbil = {
+        (r.lon, r.lat): r.value for r in resample_bilinear(ndvi, src, tgt).collect()
+    }
+    sremapbil = {
+        (r.lon, r.lat): r.value
+        for r in resample_sparse_bilinear(ndvi, src, tgt).collect()
+    }
+    assert len(remapbil) == len(sremapbil) == 37 * 59
+
+    def nna(d):
+        return {k for k, v in d.items() if v is not None and not math.isnan(v)}
+
+    bil_ok, sbil_ok = nna(remapbil), nna(sremapbil)
+    # reference: sremapbil strictly fewer NAs; remapbil non-NA subset of
+    # sremapbil non-NA (test_resample.py:62-67)
+    assert len(sbil_ok) > len(bil_ok)
+    assert bil_ok <= sbil_ok
+    # values are physical NDVI
+    vals = [sremapbil[k] for k in sbil_ok]
+    assert all(-0.2 <= v <= 0.95 for v in vals)
