@@ -12,12 +12,18 @@ Layout:
     cover       polygon -> cell cover (interior/boundary), broadcast structure
     synth       deterministic synthetic fixtures (admins, geocoded images)
     images      PNG/raw codecs, phash, PSNR (stdlib zlib + numpy only)
-    api         user-facing facade (region_from_file, zonalstats, resample,
-                compute_config) — start here when migrating from geoglue
+    api         user-facing facade (region_from_file, raster_from_file,
+                zonalstats, resample, compute_config) — start here when
+                migrating from geoglue
+    cli         geoglue-style CLI (python -m geoglue_spark: crop, merge,
+                zonalstats, stats, griddes; manifest pipe composition)
     config      job/global configuration + logfmt lineage round-trip
     registry    variable registry (metrics.toml analog)
     functions   scalar helpers (tz lookup, logfmt, zero-padded ranges)
-    sources/    polygon file ingestion (GeoJSON / NDJSON / shapefile)
+    sources/    polygon ingestion (GeoJSON / NDJSON / shapefile) + pure-
+                NumPy raster codecs (classic netCDF-3, netCDF-4/HDF5,
+                GeoTIFF/BigTIFF, GRIB1), each with an executor-side
+                many-files path
     operators/  assign, zonal, timeagg, resample, merge, reshape, validate,
                 dedup, similarity, text, multimodal, knn
     streaming/  incremental checkpoint/resume, replace-partition commits,
