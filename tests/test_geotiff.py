@@ -198,3 +198,51 @@ def test_real_population_by_real_province(spark):
     top = max(rows, key=rows.get)
     assert "Chi Minh" in top or "Chí Minh" in top, top
     assert rows[top] > 8e6  # HCMC ~ 9M in 2020
+
+
+def test_tiled_tiff_with_edge_trim(tmp_path):
+    """Tiled layout: tiles padded past the image edge must be trimmed
+    (the tile grid covers 3x2 tiles of 16x16 over a 40x25 image)."""
+    rng = np.random.Generator(np.random.PCG64(9))
+    h, w, tl, tw = 25, 40, 16, 16
+    arr = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    ntx, nty = (w + tw - 1) // tw, (h + tl - 1) // tl
+    tiles = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            tile = np.zeros((tl, tw), np.uint8)
+            ys = min(tl, h - ty * tl)
+            xs = min(tw, w - tx * tw)
+            tile[:ys, :xs] = arr[ty * tl : ty * tl + ys, tx * tw : tx * tw + xs]
+            tiles.append(zlib.compress(tile.tobytes()))
+    n_tags = 13
+    data_off = 8 + 2 + n_tags * 12 + 4
+    offs, off = [], data_off
+    for t in tiles:
+        offs.append(off)
+        off += len(t)
+    arr_off = off  # external arrays: tile offsets, counts, scale, tiepoint
+    tags = sorted([
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, 8),
+        (262, 3, 1, 1), (277, 3, 1, 1), (339, 3, 1, 1),
+        (322, 3, 1, tw), (323, 3, 1, tl),
+        (324, 4, len(tiles), arr_off),
+        (325, 4, len(tiles), arr_off + 4 * len(tiles)),
+        (33550, 12, 3, arr_off + 8 * len(tiles)),
+        (33922, 12, 6, arr_off + 8 * len(tiles) + 24),
+    ])
+    out = b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", n_tags)
+    for tag, typ, cnt, val in tags:
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    assert len(out) == data_off
+    out += b"".join(tiles)
+    out += struct.pack(f"<{len(tiles)}I", *offs)
+    out += struct.pack(f"<{len(tiles)}I", *[len(t) for t in tiles])
+    out += struct.pack("<3d", 1.0, 1.0, 0.0)
+    out += struct.pack("<6d", 0.0, 0.0, 0.0, 5.0, 50.0, 0.0)
+    p = str(tmp_path / "tiled.tif")
+    with open(p, "wb") as fh:
+        fh.write(out)
+    gt = read_geotiff(p)
+    np.testing.assert_array_equal(gt.data.astype(np.uint8), arr)

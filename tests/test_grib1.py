@@ -75,3 +75,64 @@ def test_raster_from_file_keeps_var_for_multiparam_grib(spark):
     df = raster_from_file(spark, GRIB)
     assert "var" in df.columns
     assert df.select("var").distinct().count() == 2
+
+
+def test_grib1_bitmap_section(tmp_path):
+    """Hand-crafted GRIB1 message with a BMS bitmap: unmasked points get
+    decoded values, masked ones NaN (spec: BDS stores only present
+    points)."""
+    import struct
+
+    # 3x2 lat/lon grid, bitmap 1,0,1,1,0,1 -> 4 stored 8-bit values
+    pds = struct.pack(
+        ">BBB BBBBB B B H BBBBB B BB B H B B B H".replace(" ", ""),
+        0, 0, 28,          # PDS length
+        128, 98, 1, 255, 0xC0,  # table, centre, process, grid, flags GDS+BMS
+        167,               # parameter t2m
+        1,                 # level type
+        0,                 # level (2 bytes)
+        20, 1, 1, 0, 0,    # yy mm dd hh mi
+        1,                 # time unit (hours)
+        0, 0,              # P1 P2
+        0,                 # TRI
+        0,                 # num in average (2 bytes)
+        0,                 # missing
+        21,                # century -> year 2020
+        0,                 # subcentre
+        0,                 # decimal scale (2 bytes)
+    )
+    assert len(pds) == 28
+    def s3(v):
+        return struct.pack(">I", v)[1:]
+    gds = (
+        s3(32) + bytes([0, 255, 0])           # len, NV, PV, type=latlon
+        + struct.pack(">HH", 3, 2)            # Ni, Nj
+        + s3(10000) + s3(100000)              # La1 10.0, Lo1 100.0
+        + bytes([0])                          # res flags
+        + s3(10250) + s3(100500)              # La2 10.25, Lo2 100.5
+        + struct.pack(">HH", 250, 250)        # Di Dj
+        + bytes([0])                          # scan: +i, -j
+        + bytes(32 - 28)
+    )
+    assert len(gds) == 32
+    bms = s3(8) + bytes([10]) + struct.pack(">H", 0) + bytes([0b10110100, 0])
+    assert len(bms) == 8
+    # BDS: R=300 (IBM: exp 64+3, mantissa 300/16^3 * 2^24), E=0, 8 bits
+    ibm_r = bytes([67]) + struct.pack(">I", int(300 / 16**3 * (1 << 24)))[1:]
+    data = bytes([0, 1, 2, 3])
+    bds = s3(11 + len(data) + 1) + bytes([0]) + struct.pack(">h", 0) + ibm_r + bytes([8]) + data + b"\x00"
+    body = pds + gds + bms + bds + b"7777"
+    msg = b"GRIB" + s3(8 + len(body)) + bytes([1]) + body
+    p = tmp_path / "bm.grib"
+    p.write_bytes(msg)
+
+    from geoglue_spark.sources.grib1 import parse_grib1
+
+    recs = parse_grib1(str(p))
+    assert len(recs) == 1
+    r = recs[0]
+    assert r.name == "t2m" and (r.ni, r.nj) == (3, 2)
+    v = r.values.ravel()
+    np.testing.assert_allclose(v[[0, 2, 3, 5]], [300, 301, 302, 303])
+    assert np.isnan(v[1]) and np.isnan(v[4])
+    assert str(r.time).startswith("2020-01-01")
