@@ -158,7 +158,10 @@ def decode_png(buf: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, bit_depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", payload)
             if bit_depth != 8 or interlace != 0 or color_type not in (0, 2):
-                raise NotImplementedError("STUB: only 8-bit gray/RGB filter-0 PNGs")
+                raise NotImplementedError(
+                    "STUB: only 8-bit non-interlaced gray/RGB PNGs (all five "
+                    "scanline filters supported; palette/alpha/16-bit are not)"
+                )
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":
