@@ -348,14 +348,19 @@ def cosine_topk_lsh_indexed(
     n_bits: int = 12,
     probe_hamming: int = 2,
     sim_decimals: int | None = 6,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """cosine_topk_lsh against a :func:`build_ann_index` store: the probe
     signatures become an IN-list partition filter, so the scan lists and
     reads ONLY the probed buckets (check PartitionFilters in the plan).
-    Results are identical to cosine_topk_lsh over the same candidates."""
+    Results are identical to cosine_topk_lsh over the same candidates.
+
+    ``index_df``: pass the opened store to amortize partition discovery
+    across query batches — re-opening a (2^n_bits)-directory store pays a
+    driver-side file listing per call."""
     dim = len(queries[0][1])
     probe_rows, qvecs = _query_probes_and_vecs(queries, dim, n_bits, probe_hamming)
-    index = spark.read.parquet(index_path)
+    index = index_df if index_df is not None else spark.read.parquet(index_path)
     all_probes = sorted({ps for _, ps in probe_rows})
     pruned_scan = index.filter(F.col("_sig").isin(all_probes))  # partition prune
     probes = F.broadcast(

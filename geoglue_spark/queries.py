@@ -1379,9 +1379,14 @@ def q_ann_cosine_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_topk_lsh_indexed
 
     path = _ann_index_path(spark, sf_dir)
+    # open the store once per session: listing a 2^12-directory partition
+    # tree costs a driver-side file walk per open
+    ckey = f"ann-index-{spark.sparkContext.applicationId}-{path}"
+    if ckey not in _CACHE:
+        _CACHE[ckey] = spark.read.parquet(path)
     _, qs = _queries_from_embeddings(spark, sf_dir)
     return cosine_topk_lsh_indexed(
-        spark, path, qs, k=5, n_bits=12, probe_hamming=4
+        spark, path, qs, k=5, n_bits=12, probe_hamming=4, index_df=_CACHE[ckey]
     ).select("query_id", "rank", "neighbor_id")
 
 
