@@ -123,10 +123,16 @@ def winnow_fingerprints(
     re-assembles the per-document fingerprint set. Output:
     (id_col, out_col sorted-distinct array<long>).
 
-    The single-expression :func:`winnow_fingerprints_col` is semantically
-    identical but Catalyst's project-collapsing inlines the key array into
-    the per-window lambda and re-hashes every shingle per window (~20x
-    slower measured) — use this form on real tables."""
+    Why not a single-projection HOF slide: Catalyst project-collapsing
+    inlines the key array into the per-window lambda and re-hashes every
+    shingle once per window (~20x slower — the winnow_fingerprints_col
+    caveat). A CollapseProject barrier (non-deterministic column in the
+    keys projection) makes that narrow form 12x faster in ISOLATION, but
+    the barrier does not survive composed plans — a downstream explode
+    re-inlines the whole expression and turns the query quadratic
+    (measured: the fingerprint-stats query went from seconds to a hang).
+    The window form costs one doc-keyed shuffle and stays robust under
+    ANY caller plan shape, which is the property a library must keep."""
     from pyspark.sql import Window as W
 
     from .dedup import shingle_key_col, word_shingles_col
