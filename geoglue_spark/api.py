@@ -74,8 +74,8 @@ def parse_operations(ops: str) -> tuple[list[str], bool]:
         op_spherical: bool | None = None
         for kv in filter(None, (p.strip() for p in params.split(","))):
             k, _, v = kv.partition("=")
-            if name == "quantile" and k.strip() == "q":
-                resolved = f"quantile({float(v)})"  # internal parameterized form
+            if name in ("quantile", "approx_quantile") and k.strip() == "q":
+                resolved = f"{name}({float(v)})"  # internal parameterized form
             if k.strip() == "coverage_weight":
                 if v.strip() == "area_spherical_km2":
                     op_spherical = True
@@ -83,8 +83,8 @@ def parse_operations(ops: str) -> tuple[list[str], bool]:
                     op_spherical = False
                 else:
                     raise ValueError(f"unknown coverage_weight {v!r}")
-        if name == "quantile" and resolved == "quantile":
-            raise ValueError("quantile requires a q= parameter, e.g. quantile(q=0.9)")
+        if name in ("quantile", "approx_quantile") and resolved == name:
+            raise ValueError(f"{name} requires a q= parameter, e.g. {name}(q=0.9)")
         names.append(resolved)
         per_op_spherical.append(op_spherical)
     explicit = {s for s in per_op_spherical if s is not None}

@@ -31,13 +31,29 @@ ZONAL_OPS = (
     "area_weighted_sum",
     "median",
     "quantile",  # parameterized: "quantile(0.9)"
+    "approx_median",
+    "approx_quantile",  # parameterized: "approx_quantile(0.9)"
 )
 
 _QUANTILE_RE = __import__("re").compile(r"^quantile\((0(\.\d+)?|1(\.0+)?)\)$")
+_APPROX_QUANTILE_RE = __import__("re").compile(
+    r"^approx_quantile\((0(\.\d+)?|1(\.0+)?)\)$"
+)
+
+#: Greenwald-Khanna accuracy for approx_median / approx_quantile(q):
+#: rank error <= n / accuracy per group. While the error stays below half
+#: a rank (n < accuracy/2) the returned element is EXACTLY the
+#: rank-ceil(q*n) order statistic (1-indexed, min 1) — measured stable
+#: across partitionings, which is what lets the DuckDB oracle pin it.
+DEFAULT_APPROX_ACCURACY = 100_000
 
 
 def _agg_exprs(
-    value: Column, weight: Column, ops: list[str], cov_weight: Column | None = None
+    value: Column,
+    weight: Column,
+    ops: list[str],
+    cov_weight: Column | None = None,
+    approx_accuracy: int = DEFAULT_APPROX_ACCURACY,
 ) -> list[Column]:
     """Aggregate expressions for the zonal op strings.
 
@@ -89,6 +105,20 @@ def _agg_exprs(
         elif _QUANTILE_RE.match(op):
             q = float(op[op.index("(") + 1 : -1])
             exprs.append(F.percentile(value, F.lit(q)).alias(op))
+        elif op == "approx_median":
+            # Greenwald-Khanna sketch — partial-aggregates map-side
+            # (ObjectHashAggregate), so unlike the exact percentile it
+            # never shuffles whole groups: the 100-TB path for quantiles.
+            exprs.append(
+                F.percentile_approx(
+                    value, F.lit(0.5), F.lit(approx_accuracy)
+                ).alias("approx_median")
+            )
+        elif _APPROX_QUANTILE_RE.match(op):
+            q = float(op[op.index("(") + 1 : -1])
+            exprs.append(
+                F.percentile_approx(value, F.lit(q), F.lit(approx_accuracy)).alias(op)
+            )
         elif op == "weighted_sum":
             exprs.append(F.sum(value * weight).alias("weighted_sum"))
         elif op == "weighted_mean":
@@ -115,26 +145,43 @@ def zonal_stats(
     by: str | list[str] = "admin_id",
     weight_col: str | None = None,
     salt: int | None = None,
+    approx_accuracy: int = DEFAULT_APPROX_ACCURACY,
 ) -> DataFrame:
     """Aggregate an assignment table per admin (and any extra dims).
 
     ``salt``: two-level aggregation for holistic cases — partial per
     (keys, salt) then final per keys. For the algebraic ops here Spark's
     hash-agg already partial-combines, so salt=None is the fast path.
+
+    ``approx_median`` / ``approx_quantile(q)`` are the at-scale quantile
+    ops: Greenwald-Khanna sketches merge, so they partial-aggregate
+    map-side like the algebraic ops (rank error <= n/approx_accuracy per
+    group) — use these instead of salting when a mega-admin makes the
+    exact whole-group shuffle a bottleneck.
     """
     keys = [by] if isinstance(by, str) else list(by)
     value = F.col(value_col)
     weight = F.col(weight_col) if weight_col else F.lit(1.0)
     holistic = [o for o in ops if o == "median" or o.startswith("quantile(")]
+    approx = [o for o in ops if o == "approx_median" or o.startswith("approx_quantile(")]
     if salt is not None and holistic:
         raise ValueError(
             f"holistic ops {holistic} cannot run on the salted two-level "
             "path (a percentile of per-salt percentiles is not the "
             "percentile); use salt=None — exact percentiles shuffle whole "
-            "groups by design"
+            "groups by design, or approx_median/approx_quantile(q) whose "
+            "mergeable sketches partial-aggregate without salting"
+        )
+    if salt is not None and approx:
+        raise ValueError(
+            f"approx ops {approx} don't need the salted path: their "
+            "Greenwald-Khanna sketches already partial-aggregate map-side; "
+            "use salt=None"
         )
     if salt is None:
-        return assigned.groupBy(*keys).agg(*_agg_exprs(value, weight, ops))
+        return assigned.groupBy(*keys).agg(
+            *_agg_exprs(value, weight, ops, approx_accuracy=approx_accuracy)
+        )
 
     salted = assigned.withColumn(
         "_salt", F.pmod(F.hash(*[F.col(k) for k in keys], value), F.lit(salt))

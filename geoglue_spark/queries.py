@@ -174,6 +174,47 @@ FROM points GROUP BY 1
 """
 
 
+def q_zonal_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-scale quantiles: approx_median / approx_quantile(q) are
+    Greenwald-Khanna sketches that MERGE, so they partial-aggregate
+    map-side like algebraic ops — no whole-group shuffle, the quantile
+    path that survives a mega-admin at 100 TB (exact percentile refuses
+    the salted path by design; this is the documented alternative).
+
+    Oracle-able because the GK bound is deterministic: with every group
+    smaller than accuracy/2 the rank error is under half a rank, so the
+    sketch returns EXACTLY the rank-ceil(q*n) order statistic (1-indexed,
+    min 1; measured invariant across partitionings) — DuckDB selects that
+    order statistic directly."""
+    out = zonal_stats(
+        _assigned(spark, sf_dir),
+        "value",
+        ["approx_median", "approx_quantile(0.9)"],
+    )
+    return out.select(
+        "admin_id",
+        F.round("approx_median", 6).alias("approx_median_value"),
+        F.round("`approx_quantile(0.9)`", 6).alias("approx_p90_value"),
+    )
+
+
+SQL_ZONAL_VALUE_QUANTILES_APPROX = f"""
+{_POINTS_CTE},
+r AS (
+  SELECT {ADMIN_ID_SQL} AS admin_id, value,
+         row_number() OVER (PARTITION BY {ADMIN_ID_SQL} ORDER BY value) AS rk,
+         count(*)     OVER (PARTITION BY {ADMIN_ID_SQL}) AS n
+  FROM points WHERE value IS NOT NULL
+)
+SELECT admin_id,
+       round(max(CASE WHEN rk = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                      THEN value END), 6) AS approx_median_value,
+       round(max(CASE WHEN rk = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+                      THEN value END), 6) AS approx_p90_value
+FROM r GROUP BY 1
+"""
+
+
 def q_admin1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, _, admin1 = _engine(spark)
     dim = F.broadcast(
@@ -1398,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "admin_assign_count": q_admin_assign_count,
         "zonal_value_stats": q_zonal_value_stats,
         "zonal_value_quantiles": q_zonal_value_quantiles,
+        "zonal_value_quantiles_approx": q_zonal_value_quantiles_approx,
         "admin1_rollup": q_admin1_rollup,
         "hotspot_cells_topk": q_hotspot_cells_topk,
         "images_admin_count": q_images_admin_count,
@@ -1440,6 +1482,7 @@ def oracle_sql() -> dict[str, str]:
         "admin_assign_count": SQL_ADMIN_ASSIGN_COUNT,
         "zonal_value_stats": SQL_ZONAL_VALUE_STATS,
         "zonal_value_quantiles": SQL_ZONAL_VALUE_QUANTILES,
+        "zonal_value_quantiles_approx": SQL_ZONAL_VALUE_QUANTILES_APPROX,
         "admin1_rollup": SQL_ADMIN1_ROLLUP,
         "hotspot_cells_topk": SQL_HOTSPOT_CELLS_TOPK,
         "images_admin_count": SQL_IMAGES_ADMIN_COUNT,

@@ -245,3 +245,55 @@ def test_median_quantile_and_salt_guard(spark):
     np.testing.assert_allclose(got["b"]["median"], 5.0)
     with pytest.raises(ValueError, match="holistic"):
         zonal_stats(df, "value", ["median"], salt=4)
+
+
+def test_approx_quantile_rank_bound_and_partial_agg(spark):
+    """approx_median/approx_quantile: (1) GK rank-error bound vs the NumPy
+    exact order statistic, (2) pinned rank-ceil(q*n) exactness for groups
+    below accuracy/2, (3) map-side partial aggregation in the plan (the
+    property that makes it the 100-TB quantile path), (4) salt refusal."""
+    import numpy as np
+
+    from geoglue_spark.operators.zonal import zonal_stats
+
+    rng = np.random.default_rng(11)
+    rows = []
+    sizes = {"a": 7, "b": 400, "c": 2503}
+    vals = {g: rng.uniform(-50.0, 50.0, n) for g, n in sizes.items()}
+    for g, v in vals.items():
+        rows += [(g, float(x)) for x in v]
+    df = spark.createDataFrame(rows, "admin_id string, value double").repartition(8)
+
+    out = zonal_stats(
+        df, "value", ["approx_median", "approx_quantile(0.9)"], approx_accuracy=10000
+    )
+    got = {r.admin_id: r for r in out.collect()}
+    for g, v in vals.items():
+        s = np.sort(v)
+        n = len(s)
+        for q, col in ((0.5, "approx_median"), (0.9, "approx_quantile(0.9)")):
+            # n < accuracy/2 -> error under half a rank -> exact order stat
+            expect = s[max(1, int(np.ceil(q * n))) - 1]
+            assert got[g][col] == expect, (g, q, got[g][col], expect)
+
+    # map-side partial: the plan must contain a partial ObjectHashAggregate
+    # with percentile_approx partials (no whole-group shuffle of raw rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" in plan
+    assert plan.count("percentile_approx") >= 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="don't need the salted path"):
+        zonal_stats(df, "value", ["approx_median"], salt=4)
+
+
+def test_parse_operations_approx_quantile():
+    from geoglue_spark.api import parse_operations
+
+    names, sph = parse_operations("approx_median, approx_quantile(q=0.9)")
+    assert names == ["approx_median", "approx_quantile(0.9)"]
+    import pytest
+
+    with pytest.raises(ValueError, match="requires a q="):
+        parse_operations("approx_quantile")
