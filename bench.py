@@ -162,6 +162,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "zonal_value_stats",
         "zonal_value_quantiles",
         "images_admin_count",
+        "image_tile_zonal",
+        "zonal_value_quantiles_approx",
         "tpch_q1",
         "tpch_q5_local_supplier",
         "tpch_q14_promo_share",

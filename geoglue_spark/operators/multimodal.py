@@ -24,11 +24,23 @@ DECODE_STATS_SCHEMA = (
 )
 
 
-def decode_stats(images: DataFrame) -> DataFrame:
+def decode_stats(images: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Decode every image and emit per-image pixel statistics + a check
     that the stored phash matches the decoded pixels (input_hint per-row
     invariant). Arrow-batched; decode failures surface as rows with
-    mean_px NULL rather than killing the task."""
+    mean_px NULL rather than killing the task.
+
+    ``carry``: extra input columns to pass through unchanged (e.g. an
+    ``admin_id`` stamped by assign_admin) — at fact-table scale the
+    decode must ride the SAME pipeline as the assignment; re-joining the
+    decode output to a second scan by image_id would shuffle two
+    fact-sized tables."""
+    carry = tuple(c for c in carry)
+    carry_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in images.schema
+        if f.name in carry
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -44,16 +56,19 @@ def decode_stats(images: DataFrame) -> DataFrame:
                     )
                 except NotImplementedError:
                     out.append((r.image_id, r.fmt, r.w, r.h, None, None, None))
-            yield pd.DataFrame(
+            res = pd.DataFrame(
                 out,
                 columns=[
                     "image_id", "fmt", "w", "h", "mean_px", "std_px", "phash_check",
                 ],
             )
+            for c in carry:  # one output row per input row, order preserved
+                res[c] = pdf[c].to_numpy()
+            yield res
 
-    return images.select("image_id", "bytes", "w", "h", "fmt", "phash").mapInPandas(
-        run, DECODE_STATS_SCHEMA
-    )
+    return images.select(
+        "image_id", "bytes", "w", "h", "fmt", "phash", *carry
+    ).mapInPandas(run, DECODE_STATS_SCHEMA + carry_schema)
 
 
 def thumbnail_features(images: DataFrame, grid: int = 8) -> DataFrame:

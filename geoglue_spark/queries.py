@@ -44,6 +44,7 @@ from .synth import (
     ADMIN_ID_SQL,
     POINTS_FROM_EVENTS_SQL,
     admins_df,
+    image_truth_parquet,
     images_parquet,
     images_table,
 )
@@ -302,6 +303,55 @@ FROM pts GROUP BY 1
 # ---------------------------------------------------------------------------
 # relational core (scan/filter/join/agg/window over the star schema)
 # ---------------------------------------------------------------------------
+def q_image_tile_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star composition (S6 x J1 x A1): raster-to-vector zonal stats
+    over DECODED image tiles — decode binary payloads in Arrow batches,
+    assign each tile to its admin polygon through the cover join, and
+    aggregate the pixel-count-weighted mean pixel value per admin.
+
+    Restricted to the lossless formats (png/raw) so the DuckDB oracle can
+    join an INDEPENDENTLY synthesized ground-truth table
+    (synth.image_truth_parquet: pixels -> gray mean, no encode/decode
+    round trip): a value-hash match proves the engine's distributed decode
+    reproduces the original pixels exactly, per row, inside the full
+    assignment + aggregation pipeline."""
+    from .operators.multimodal import decode_stats
+
+    cover, wkb, _ = _engine(spark)
+    imgs = _images(spark).filter(F.col("fmt") != "qnt")
+    # assign FIRST (payload bytes stay JVM-side through the keep kernel),
+    # then decode with admin_id carried through the same pipeline — one
+    # scan, zero fact-table joins. Decoding separately and re-joining on
+    # image_id would shuffle two fact-sized tables at 10^12 rows.
+    assigned = assign_admin(imgs, cover, wkb, QUERY_GRID)
+    dec = decode_stats(assigned, carry=("admin_id",))
+    npx = (F.col("w") * F.col("h")).cast("double")
+    return dec.groupBy("admin_id").agg(
+        F.count("*").alias("n_tiles"),
+        F.round(F.sum(F.col("mean_px") * npx) / F.sum(npx), 6).alias("mean_px"),
+    )
+
+
+SQL_IMAGE_TILE_ZONAL = """
+WITH imgs AS (
+  SELECT image_id, lat, lon
+  FROM read_parquet('{images_path}') WHERE fmt <> 'qnt'
+),
+truth AS (
+  SELECT image_id, mean_px, n_px FROM read_parquet('{truth_path}')
+),
+a AS (
+  SELECT printf('ADM2-%02d', CAST(floor(lat - 10.0) AS INT) * 10
+                + CAST(floor(lon - 100.0) AS INT)) AS admin_id,
+         t.mean_px, t.n_px
+  FROM imgs i JOIN truth t USING (image_id)
+)
+SELECT admin_id, count(*) AS n_tiles,
+       round(sum(mean_px * n_px) / sum(n_px), 6) AS mean_px
+FROM a GROUP BY 1
+"""
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _table(spark, sf_dir, "lineitem")
     return (
@@ -1443,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "admin1_rollup": q_admin1_rollup,
         "hotspot_cells_topk": q_hotspot_cells_topk,
         "images_admin_count": q_images_admin_count,
+        "image_tile_zonal": q_image_tile_zonal,
         "tpch_q1": q_tpch_q1,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "tpch_q14_promo_share": q_tpch_q14_promo_share,
@@ -1516,6 +1567,13 @@ def oracle_sql() -> dict[str, str]:
         # file the Spark query scans (ensured to exist here)
         "phash_dedup_pairs": SQL_PHASH_DEDUP_PAIRS.format(
             images_path=images_parquet(N_IMAGES)
+        ),
+        # decoded-tile zonal: the oracle joins the independently
+        # synthesized ground-truth pixel stats (no encode/decode round
+        # trip) against the same fact-table parquet the Spark query scans
+        "image_tile_zonal": SQL_IMAGE_TILE_ZONAL.format(
+            images_path=images_parquet(N_IMAGES),
+            truth_path=image_truth_parquet(N_IMAGES),
         ),
         "lang_id_counts": SQL_LANG_ID_COUNTS,
         "daily_stats_registry": SQL_DAILY_STATS_REGISTRY,

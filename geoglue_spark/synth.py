@@ -231,6 +231,37 @@ def images_pandas(n: int) -> pd.DataFrame:
     return out
 
 
+def image_truth_parquet(n: int, root: str = "/root/repo/.cache") -> str:
+    """Ground-truth per-image pixel stats (image_id, mean_px, n_px),
+    materialized ONCE — computed straight from the synthesized pixels,
+    WITHOUT the encode->store->decode round trip. The DuckDB oracle joins
+    this against the fact table so a driver-checked query can pin the
+    engine's decode path: for lossless formats the decoded gray mean must
+    reproduce these float64 values bit-for-bit."""
+    import os
+
+    from .images import _to_gray
+
+    path = os.path.join(root, f"image_truth_{n}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(root, exist_ok=True)
+        ids = np.arange(n, dtype=np.int64)
+        content = np.where(ids % DUP_EVERY == 0, np.maximum(ids - 1, 0), ids)
+        recs = []
+        for i, ci in zip(ids, content):
+            w = _DIMS[int(ci) % 3]
+            h = _DIMS[int(ci + 1) % 3]
+            pix = synth_pixels(int(ci), w, h, color=(ci % 2 == 0))
+            gray = _to_gray(pix.astype(np.float64))
+            recs.append((f"img{i:012d}", float(gray.mean()), int(w * h)))
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pd.DataFrame(recs, columns=["image_id", "mean_px", "n_px"]).to_parquet(
+            tmp, index=False
+        )
+        os.replace(tmp, path)
+    return path
+
+
 def images_parquet(n: int, root: str = "/root/repo/.cache") -> str:
     """Materialize the deterministic images fixture to parquet ONCE (atomic
     rename; concurrent callers race benignly) and return the file path.

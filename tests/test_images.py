@@ -210,3 +210,34 @@ def test_png_filtered_through_spark_decode_path(spark):
     )
     got = decode_stats(df).collect()
     assert len(got) == 4 and all(r.mean_px > 0 for r in got)
+
+
+def test_image_truth_matches_distributed_decode(spark, tmp_path):
+    """The ground-truth table (pixels -> gray mean, no codec round trip)
+    must agree bit-for-bit with the engine's distributed decode for the
+    lossless formats — the invariant behind the image_tile_zonal oracle —
+    and DISAGREE for the lossy qnt rows (which is why that query filters
+    them out)."""
+    import pandas as pd
+
+    from geoglue_spark.operators.multimodal import decode_stats
+    from geoglue_spark.synth import image_truth_parquet, images_table
+
+    n = 120
+    truth = pd.read_parquet(image_truth_parquet(n, root=str(tmp_path)))
+    dec = (
+        decode_stats(images_table(spark, n))
+        .select("image_id", "fmt", "mean_px", "w", "h")
+        .toPandas()
+    )
+    m = dec.merge(truth, on="image_id", validate="one_to_one")
+    assert len(m) == n
+    assert (m.n_px == m.w * m.h).all()
+    lossless = m[m.fmt != "qnt"]
+    lossy = m[m.fmt == "qnt"]
+    assert len(lossless) and len(lossy)
+    # bit-exact equality, not allclose: lossless decode must reproduce the
+    # synthesized pixels exactly
+    assert (lossless.mean_px_x == lossless.mean_px_y).all()
+    # quantization moves the mean for (nearly) every qnt image
+    assert (lossy.mean_px_x != lossy.mean_px_y).mean() > 0.9
