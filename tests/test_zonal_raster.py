@@ -297,3 +297,34 @@ def test_parse_operations_approx_quantile():
 
     with pytest.raises(ValueError, match="requires a q="):
         parse_operations("approx_quantile")
+
+
+def test_approx_quantile_rank_rule_adversarial(spark):
+    """The zonal_value_quantiles_approx oracle depends on the GK sketch
+    returning the exact rank-ceil(q*n) order statistic below accuracy/2.
+    Pin that rule on the nasty shapes: heavy duplicates, all-equal groups,
+    singletons, pairs, and q in {0, 1} — across a skewed partitioning."""
+    import numpy as np
+
+    from geoglue_spark.operators.zonal import zonal_stats
+
+    groups = {
+        "dup": [1.0] * 500 + [2.0] * 499 + [3.0],
+        "const": [7.5] * 321,
+        "one": [42.0],
+        "two": [-1.0, 1.0],
+        "neg": list(np.linspace(-5, -1, 97)),
+    }
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "admin_id string, value double").repartition(7)
+    ops = ["approx_quantile(0.0)", "approx_quantile(0.25)",
+           "approx_median", "approx_quantile(0.75)", "approx_quantile(1.0)"]
+    got = {r.admin_id: r for r in zonal_stats(df, "value", ops, approx_accuracy=10000).collect()}
+    for g, vs in groups.items():
+        s = np.sort(vs)
+        n = len(s)
+        for q, col in ((0.0, "approx_quantile(0.0)"), (0.25, "approx_quantile(0.25)"),
+                       (0.5, "approx_median"), (0.75, "approx_quantile(0.75)"),
+                       (1.0, "approx_quantile(1.0)")):
+            expect = s[max(1, int(np.ceil(q * n))) - 1]
+            assert got[g][col] == expect, (g, q, got[g][col], expect)
