@@ -180,6 +180,90 @@ def assign_admin(
     return assigned
 
 
+def assign_tiles_fractional(
+    tiles: DataFrame,
+    cover: DataFrame,
+    grid: Grid,
+    tile_w_deg: float,
+    tile_h_deg: float,
+    id_cols: list[str] | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Fractional tile -> admin assignment for footprints that SPAN
+    admin boundaries (north-rule 'tiling engine': a geocoded image tile is
+    a bbox, not a point — BASELINE.json north_star; the reference's
+    exactextract analog for *cells* is zonalstats.py:44-62).
+
+    Each tile is the bbox ``[lon +/- w/2] x [lat +/- h/2]`` around its
+    center. The tile explodes to its candidate grid cells (bounded
+    fan-out: (w/dx+1) x (h/dy+1), independent of admin count), broadcast-
+    equi-joins the cell cover, and per (tile, admin) sums
+    ``coverage x area(cell INTERSECT tile) / area(tile)`` — all pure
+    Column arithmetic inside codegen, one shuffle (the final groupBy).
+
+    Output: ``id_cols + (admin_id, frac)``, one row per overlapped admin,
+    ``frac`` in (0, 1]. Fractions are exact when admin boundaries align
+    with cell edges (coverage is then 0/1 per cell) and carry the cover's
+    supersampling resolution otherwise. Off-grid tile area finds no cover
+    row and counts as unassigned — fractions never sum above 1.
+
+    Cell indices are range-FILTERED, not clamped: an out-of-domain index
+    must be dropped before forming ``cell_id`` (clamping would alias e.g.
+    (ix=-1, iy=5) onto the edge cell of the previous row and mis-assign
+    border tiles).
+    """
+    id_cols = id_cols or [c for c in tiles.columns if c not in (lon_col, lat_col)]
+    hw, hh = tile_w_deg / 2.0, tile_h_deg / 2.0
+    x1 = F.col(lon_col) - F.lit(hw)
+    x2 = F.col(lon_col) + F.lit(hw)
+    y1 = F.col(lat_col) - F.lit(hh)
+    y2 = F.col(lat_col) + F.lit(hh)
+    ix_lo = F.floor((x1 - F.lit(grid.x0)) / F.lit(grid.dx)).cast("long")
+    ix_hi = F.floor((x2 - F.lit(grid.x0)) / F.lit(grid.dx)).cast("long")
+    iy_lo = F.floor((y1 - F.lit(grid.y0)) / F.lit(grid.dy)).cast("long")
+    iy_hi = F.floor((y2 - F.lit(grid.y0)) / F.lit(grid.dy)).cast("long")
+
+    ex = (
+        tiles.select(
+            *id_cols,
+            x1.alias("_x1"), x2.alias("_x2"), y1.alias("_y1"), y2.alias("_y2"),
+            F.explode(F.sequence(ix_lo, ix_hi)).alias("_ix"),
+            F.sequence(iy_lo, iy_hi).alias("_iys"),
+        )
+        .select("*", F.explode("_iys").alias("_iy"))
+        .drop("_iys")
+        .filter(
+            (F.col("_ix") >= 0) & (F.col("_ix") < grid.nx)
+            & (F.col("_iy") >= 0) & (F.col("_iy") < grid.ny)
+        )
+        .withColumn("_cell_id", F.col("_iy") * F.lit(int(grid.nx)) + F.col("_ix"))
+    )
+    cx1 = F.lit(grid.x0) + F.col("_ix") * F.lit(grid.dx)
+    cy1 = F.lit(grid.y0) + F.col("_iy") * F.lit(grid.dy)
+    ox = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("_x2"), cx1 + F.lit(grid.dx)) - F.greatest(F.col("_x1"), cx1),
+    )
+    oy = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("_y2"), cy1 + F.lit(grid.dy)) - F.greatest(F.col("_y1"), cy1),
+    )
+    cov = F.broadcast(
+        cover.select(
+            F.col("cell_id").alias("_cell_id"), "admin_id", "coverage"
+        )
+    )
+    contrib = F.col("coverage") * ox * oy / F.lit(tile_w_deg * tile_h_deg)
+    return (
+        ex.join(cov, "_cell_id")
+        .withColumn("_contrib", contrib)
+        .filter(F.col("_contrib") > 0)
+        .groupBy(*id_cols, "admin_id")
+        .agg(F.sum("_contrib").alias("frac"))
+    )
+
+
 def assign_admin_sql_plan(points_with_admin: DataFrame) -> str:
     """Human-readable physical plan for tuning (BroadcastHashJoin check)."""
     return points_with_admin._jdf.queryExecution().explainString("formatted")

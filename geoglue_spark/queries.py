@@ -352,6 +352,51 @@ FROM a GROUP BY 1
 """
 
 
+_TILE_W, _TILE_H = 0.17, 0.13  # deliberately NOT multiples of the 0.05 cell
+
+
+def q_tile_overlap_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule tiling: image footprints are bboxes, not points — a tile
+    near an admin border belongs FRACTIONALLY to several admins. The
+    engine explodes each tile to its candidate cells (bounded fan-out),
+    broadcast-joins the cover, and sums coverage x intersection area; the
+    admin rectangles align with cell edges here, so the result is exact
+    and the DuckDB oracle computes the closed-form bbox intersection with
+    every 1-degree admin rectangle directly."""
+    from .operators.assign import assign_tiles_fractional
+
+    cover, _, _ = _engine(spark)
+    hw, hh = _TILE_W / 2, _TILE_H / 2
+    imgs = _images(spark).select("image_id", "lon", "lat").filter(
+        (F.col("lon") - hw >= 100.0) & (F.col("lon") + hw <= 110.0)
+        & (F.col("lat") - hh >= 10.0) & (F.col("lat") + hh <= 20.0)
+    )
+    out = assign_tiles_fractional(
+        imgs, cover, QUERY_GRID, _TILE_W, _TILE_H, id_cols=["image_id"]
+    )
+    return out.select("image_id", "admin_id", F.round("frac", 6).alias("frac"))
+
+
+SQL_TILE_OVERLAP_FRACTIONS = """
+WITH imgs AS (
+  SELECT image_id, lon, lat FROM read_parquet('{images_path}')
+  WHERE lon - {hw} >= 100.0 AND lon + {hw} <= 110.0
+    AND lat - {hh} >= 10.0  AND lat + {hh} <= 20.0
+),
+cand AS (
+  SELECT i.image_id, ax.a AS ax, ay.a AS ay,
+         least(i.lon + {hw}, 100.0 + ax.a + 1) - greatest(i.lon - {hw}, 100.0 + ax.a) AS ox,
+         least(i.lat + {hh}, 10.0 + ay.a + 1) - greatest(i.lat - {hh}, 10.0 + ay.a) AS oy
+  FROM imgs i
+  CROSS JOIN (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS a) ax
+  CROSS JOIN (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS a) ay
+)
+SELECT image_id, printf('ADM2-%02d', ay * 10 + ax) AS admin_id,
+       round(ox * oy / ({w} * {h}), 6) AS frac
+FROM cand WHERE ox > 0 AND oy > 0
+"""
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _table(spark, sf_dir, "lineitem")
     return (
@@ -1494,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_cells_topk": q_hotspot_cells_topk,
         "images_admin_count": q_images_admin_count,
         "image_tile_zonal": q_image_tile_zonal,
+        "tile_overlap_fractions": q_tile_overlap_fractions,
         "tpch_q1": q_tpch_q1,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "tpch_q14_promo_share": q_tpch_q14_promo_share,
@@ -1574,6 +1620,13 @@ def oracle_sql() -> dict[str, str]:
         "image_tile_zonal": SQL_IMAGE_TILE_ZONAL.format(
             images_path=images_parquet(N_IMAGES),
             truth_path=image_truth_parquet(N_IMAGES),
+        ),
+        # closed-form bbox-x-admin-rectangle intersection over the same
+        # fact parquet (tiles align cell edges with admin edges, so the
+        # engine's cover-based fraction sum is exact)
+        "tile_overlap_fractions": SQL_TILE_OVERLAP_FRACTIONS.format(
+            images_path=images_parquet(N_IMAGES),
+            hw=_TILE_W / 2, hh=_TILE_H / 2, w=_TILE_W, h=_TILE_H,
         ),
         "lang_id_counts": SQL_LANG_ID_COUNTS,
         "daily_stats_registry": SQL_DAILY_STATS_REGISTRY,

@@ -117,3 +117,95 @@ def test_hotspot_skew_assignment(spark):
     # hotspot admin (row 2, col 4) holds ~80%
     hot = counts[counts.admin_id == "ADM2-24"]["count"].iloc[0]
     assert hot > 3800
+
+
+def test_tile_fractional_assignment_matches_numpy_oracle(spark, fancy_setup):
+    """assign_tiles_fractional vs an independent NumPy accumulation over
+    the same cover: per (tile, admin), frac = sum(coverage * cell-tile
+    overlap)/tile area; plus the conservation invariants."""
+    from geoglue_spark.operators.assign import assign_tiles_fractional
+
+    _, cover, _ = fancy_setup
+    tw, th = 0.6, 0.45  # NOT multiples of the 0.25 cell
+    n = 300
+    i = np.arange(n)
+    lon = (i * 7919 % 104729) / 104729.0 * 12.0 - 1.0
+    lat = (i * 6007 % 104729) / 104729.0 * 9.0 - 0.5
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": i, "lon": lon, "lat": lat}),
+        "pid long, lon double, lat double",
+    )
+    got = (
+        assign_tiles_fractional(pts, cover, GRID, tw, th, id_cols=["pid"])
+        .toPandas()
+        .set_index(["pid", "admin_id"])["frac"]
+    )
+
+    cov = cover.select("cell_id", "admin_id", "coverage").toPandas()
+    cov_map = {}
+    for r in cov.itertuples(index=False):
+        cov_map.setdefault(int(r.cell_id), []).append((r.admin_id, float(r.coverage)))
+
+    def oracle(cx, cy):
+        x1, x2, y1, y2 = cx - tw / 2, cx + tw / 2, cy - th / 2, cy + th / 2
+        acc = {}
+        for ix in range(
+            int(np.floor((x1 - GRID.x0) / GRID.dx)),
+            int(np.floor((x2 - GRID.x0) / GRID.dx)) + 1,
+        ):
+            if not (0 <= ix < GRID.nx):
+                continue
+            for iy in range(
+                int(np.floor((y1 - GRID.y0) / GRID.dy)),
+                int(np.floor((y2 - GRID.y0) / GRID.dy)) + 1,
+            ):
+                if not (0 <= iy < GRID.ny):
+                    continue
+                gx1 = GRID.x0 + ix * GRID.dx
+                gy1 = GRID.y0 + iy * GRID.dy
+                ox = max(0.0, min(x2, gx1 + GRID.dx) - max(x1, gx1))
+                oy = max(0.0, min(y2, gy1 + GRID.dy) - max(y1, gy1))
+                if ox * oy == 0:
+                    continue
+                for aid, cv in cov_map.get(iy * GRID.nx + ix, ()):
+                    acc[aid] = acc.get(aid, 0.0) + cv * ox * oy / (tw * th)
+        return acc
+
+    n_pairs = 0
+    for pid in range(n):
+        want = oracle(lon[pid], lat[pid])
+        got_p = {a: v for (p, a), v in got.items() if p == pid}
+        assert set(got_p) == {a for a, v in want.items() if v > 0}
+        for a, v in got_p.items():
+            np.testing.assert_allclose(v, want[a], rtol=1e-9)
+        # conservation: fractions never sum above 1 (+ float slack)
+        assert sum(got_p.values()) <= 1.0 + 1e-9
+        n_pairs += len(got_p)
+    # the sampling box mostly lies outside the fancy polygons; what matters
+    # is that a healthy number of tiles DO overlap, some fractionally
+    assert n_pairs > 50
+    partial = sum(
+        1 for pid in range(n)
+        if 0 < sum(v for (p, _), v in got.items() if p == pid) < 1 - 1e-9
+    )
+    assert partial > 10  # boundary tiles carry genuine fractions
+
+
+def test_tile_fully_interior_gets_frac_one(spark, fancy_setup):
+    from geoglue_spark.operators.assign import assign_tiles_fractional
+
+    _, cover, _ = fancy_setup
+    # (5.5, 2.0) is deep inside the donut's left arm ([5,6] x [0,4]); a
+    # 0.2-degree tile there lies entirely within FANCY-DONUT. The L-shape
+    # notch (1.5, 1.5) is OUTSIDE every polygon: zero rows, zero mass.
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [0, 1], "lon": [5.5, 1.5], "lat": [2.0, 1.5]}),
+        "pid long, lon double, lat double",
+    )
+    out = assign_tiles_fractional(pts, cover, GRID, 0.2, 0.2, id_cols=["pid"]).collect()
+    by_pid = {}
+    for r in out:
+        by_pid.setdefault(r.pid, []).append(r)
+    assert abs(sum(r.frac for r in by_pid[0]) - 1.0) < 1e-9
+    assert {r.admin_id for r in by_pid[0]} == {"FANCY-DONUT"}
+    assert 1 not in by_pid  # notch tile: no admin, no rows
