@@ -189,11 +189,18 @@ def assign_tiles_fractional(
     id_cols: list[str] | None = None,
     lon_col: str = "lon",
     lat_col: str = "lat",
+    blocks: DataFrame | None = None,
+    block_shift: int = 4,
 ) -> DataFrame:
     """Fractional tile -> admin assignment for footprints that SPAN
     admin boundaries (north-rule 'tiling engine': a geocoded image tile is
     a bbox, not a point — BASELINE.json north_star; the reference's
     exactextract analog for *cells* is zonalstats.py:44-62).
+
+    ``blocks``: optional compacted interior-block table from
+    ``cover.compact_cover`` (same ``block_shift``) — the same two-level
+    join assignment and zonal use, so fine-grid world covers stay
+    broadcastable (block hits are fully interior: coverage 1).
 
     Each tile is the bbox ``[lon +/- w/2] x [lat +/- h/2]`` around its
     center. The tile explodes to its candidate grid cells (bounded
@@ -237,7 +244,7 @@ def assign_tiles_fractional(
             (F.col("_ix") >= 0) & (F.col("_ix") < grid.nx)
             & (F.col("_iy") >= 0) & (F.col("_iy") < grid.ny)
         )
-        .withColumn("_cell_id", F.col("_iy") * F.lit(int(grid.nx)) + F.col("_ix"))
+        .withColumn("cell_id", F.col("_iy") * F.lit(int(grid.nx)) + F.col("_ix"))
     )
     cx1 = F.lit(grid.x0) + F.col("_ix") * F.lit(grid.dx)
     cy1 = F.lit(grid.y0) + F.col("_iy") * F.lit(grid.dy)
@@ -249,15 +256,18 @@ def assign_tiles_fractional(
         F.lit(0.0),
         F.least(F.col("_y2"), cy1 + F.lit(grid.dy)) - F.greatest(F.col("_y1"), cy1),
     )
-    cov = F.broadcast(
-        cover.select(
-            F.col("cell_id").alias("_cell_id"), "admin_id", "coverage"
-        )
-    )
+    cover_cols = cover.select("cell_id", "admin_id", "coverage")
+    if blocks is None:
+        joined = ex.join(F.broadcast(cover_cols), "cell_id")
+    else:
+        from ..cover import join_cover_two_level
+
+        joined = join_cover_two_level(
+            ex, cover_cols, blocks, grid, block_shift
+        ).withColumn("coverage", F.coalesce("coverage", F.lit(1.0)))
     contrib = F.col("coverage") * ox * oy / F.lit(tile_w_deg * tile_h_deg)
     return (
-        ex.join(cov, "_cell_id")
-        .withColumn("_contrib", contrib)
+        joined.withColumn("_contrib", contrib)
         .filter(F.col("_contrib") > 0)
         .groupBy(*id_cols, "admin_id")
         .agg(F.sum("_contrib").alias("frac"))

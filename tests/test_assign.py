@@ -209,3 +209,36 @@ def test_tile_fully_interior_gets_frac_one(spark, fancy_setup):
     assert abs(sum(r.frac for r in by_pid[0]) - 1.0) < 1e-9
     assert {r.admin_id for r in by_pid[0]} == {"FANCY-DONUT"}
     assert 1 not in by_pid  # notch tile: no admin, no rows
+
+
+def test_tile_fractional_blocked_identical_to_flat(spark, fancy_setup):
+    """Two-level (compact blocks) tile assignment is output-identical to
+    the flat cover — the property that keeps fine-grid world covers
+    broadcastable for J8 exactly as for assignment and zonal."""
+    from geoglue_spark.cover import compact_cover
+    from geoglue_spark.operators.assign import assign_tiles_fractional
+
+    _, cover, _ = fancy_setup
+    cells, blocks = compact_cover(cover, GRID, block_shift=2)
+    n = 200
+    i = np.arange(n)
+    lon = (i * 7919 % 104729) / 104729.0 * 12.0 - 1.0
+    lat = (i * 6007 % 104729) / 104729.0 * 9.0 - 0.5
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": i, "lon": lon, "lat": lat}),
+        "pid long, lon double, lat double",
+    )
+    flat = {
+        (r.pid, r.admin_id): r.frac
+        for r in assign_tiles_fractional(pts, cover, GRID, 0.6, 0.45, id_cols=["pid"]).collect()
+    }
+    two = {
+        (r.pid, r.admin_id): r.frac
+        for r in assign_tiles_fractional(
+            pts, cells, GRID, 0.6, 0.45, id_cols=["pid"],
+            blocks=blocks, block_shift=2,
+        ).collect()
+    }
+    assert set(flat) == set(two)
+    for k in flat:
+        np.testing.assert_allclose(two[k], flat[k], rtol=1e-12)
