@@ -164,6 +164,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "images_admin_count",
         "image_tile_zonal",
         "tile_overlap_fractions",
+        "image_tile_zonal_frac",
         "zonal_value_quantiles_approx",
         "tpch_q1",
         "tpch_q5_local_supplier",

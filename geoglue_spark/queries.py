@@ -397,6 +397,75 @@ FROM cand WHERE ox > 0 AND oy > 0
 """
 
 
+def q_image_tile_zonal_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full north-star statement in one oracled pipeline: decode image
+    tiles, assign each FRACTIONALLY to every admin its footprint overlaps
+    (J8), and aggregate per-admin pixel means weighted by
+    frac x pixel count — boundary tiles contribute to several admins in
+    proportion to overlap instead of snapping to their center point.
+    One scan: decode carries lon/lat through the Arrow stage, the
+    fraction join is a broadcast, the only shuffle is the final agg.
+    Oracle: ground-truth pixel stats (no codec round trip) x closed-form
+    bbox fractions, entirely in DuckDB."""
+    from .operators.assign import assign_tiles_fractional
+    from .operators.multimodal import decode_stats
+
+    cover, _, _ = _engine(spark)
+    hw, hh = _TILE_W / 2, _TILE_H / 2
+    imgs = _images(spark).filter(
+        (F.col("fmt") != "qnt")
+        & (F.col("lon") - hw >= 100.0) & (F.col("lon") + hw <= 110.0)
+        & (F.col("lat") - hh >= 10.0) & (F.col("lat") + hh <= 20.0)
+    )
+    dec = decode_stats(imgs, carry=("lon", "lat"))
+    tiles = dec.select(
+        "image_id", "lon", "lat", "mean_px",
+        (F.col("w") * F.col("h")).cast("double").alias("_npx"),
+    )
+    # grouped=False: the admin aggregate is linear in frac, so per-cell
+    # contributions aggregate directly — ONE fact-scale shuffle, not two
+    fr = assign_tiles_fractional(
+        tiles, cover, QUERY_GRID, _TILE_W, _TILE_H,
+        id_cols=["image_id", "mean_px", "_npx"], grouped=False,
+    )
+    wpx = F.col("_contrib") * F.col("_npx")
+    return fr.groupBy("admin_id").agg(
+        F.round(F.sum("_contrib"), 6).alias("tile_mass"),
+        F.round(F.sum(F.col("mean_px") * wpx) / F.sum(wpx), 6).alias("mean_px"),
+    )
+
+
+SQL_IMAGE_TILE_ZONAL_FRAC = """
+WITH imgs AS (
+  SELECT image_id, lon, lat FROM read_parquet('{images_path}')
+  WHERE fmt <> 'qnt'
+    AND lon - {hw} >= 100.0 AND lon + {hw} <= 110.0
+    AND lat - {hh} >= 10.0  AND lat + {hh} <= 20.0
+),
+truth AS (
+  SELECT image_id, mean_px, n_px FROM read_parquet('{truth_path}')
+),
+cand AS (
+  SELECT i.image_id, ax.a AS ax, ay.a AS ay,
+         least(i.lon + {hw}, 100.0 + ax.a + 1) - greatest(i.lon - {hw}, 100.0 + ax.a) AS ox,
+         least(i.lat + {hh}, 10.0 + ay.a + 1) - greatest(i.lat - {hh}, 10.0 + ay.a) AS oy
+  FROM imgs i
+  CROSS JOIN (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS a) ax
+  CROSS JOIN (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS a) ay
+),
+fr AS (
+  SELECT image_id, printf('ADM2-%02d', ay * 10 + ax) AS admin_id,
+         ox * oy / ({w} * {h}) AS frac
+  FROM cand WHERE ox > 0 AND oy > 0
+)
+SELECT admin_id,
+       round(sum(frac), 6) AS tile_mass,
+       round(sum(frac * mean_px * n_px) / sum(frac * n_px), 6) AS mean_px
+FROM fr JOIN truth USING (image_id)
+GROUP BY 1
+"""
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _table(spark, sf_dir, "lineitem")
     return (
@@ -1540,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_admin_count": q_images_admin_count,
         "image_tile_zonal": q_image_tile_zonal,
         "tile_overlap_fractions": q_tile_overlap_fractions,
+        "image_tile_zonal_frac": q_image_tile_zonal_frac,
         "tpch_q1": q_tpch_q1,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "tpch_q14_promo_share": q_tpch_q14_promo_share,
@@ -1626,6 +1696,11 @@ def oracle_sql() -> dict[str, str]:
         # engine's cover-based fraction sum is exact)
         "tile_overlap_fractions": SQL_TILE_OVERLAP_FRACTIONS.format(
             images_path=images_parquet(N_IMAGES),
+            hw=_TILE_W / 2, hh=_TILE_H / 2, w=_TILE_W, h=_TILE_H,
+        ),
+        "image_tile_zonal_frac": SQL_IMAGE_TILE_ZONAL_FRAC.format(
+            images_path=images_parquet(N_IMAGES),
+            truth_path=image_truth_parquet(N_IMAGES),
             hw=_TILE_W / 2, hh=_TILE_H / 2, w=_TILE_W, h=_TILE_H,
         ),
         "lang_id_counts": SQL_LANG_ID_COUNTS,
