@@ -192,6 +192,7 @@ def assign_tiles_fractional(
     blocks: DataFrame | None = None,
     block_shift: int = 4,
     grouped: bool = True,
+    max_fanout: int = 4096,
 ) -> DataFrame:
     """Fractional tile -> admin assignment for footprints that SPAN
     admin boundaries (north-rule 'tiling engine': a geocoded image tile is
@@ -227,9 +228,26 @@ def assign_tiles_fractional(
     must be dropped before forming ``cell_id`` (clamping would alias e.g.
     (ix=-1, iy=5) onto the edge cell of the previous row and mis-assign
     border tiles).
+
+    ``max_fanout`` guards the explode volume: per-tile fan-out is
+    (w/dx+2) x (h/dy+2) cells, so a 2-degree scene footprint on a
+    0.01-degree grid would explode 40k+ rows per tile — at 10^9 tiles
+    that is a 10^13-row intermediate, invisible at test scale and fatal
+    at 100 TB. Over the cap the call raises with the arithmetic; fix by
+    assigning on a coarser grid (fractions are grid-resolution exact
+    anyway) or pre-aggregating footprints.
     """
     id_cols = id_cols or [c for c in tiles.columns if c not in (lon_col, lat_col)]
     hw, hh = tile_w_deg / 2.0, tile_h_deg / 2.0
+    fanout = (int(tile_w_deg / grid.dx) + 2) * (int(tile_h_deg / grid.dy) + 2)
+    if fanout > max_fanout:
+        raise ValueError(
+            f"assign_tiles_fractional: per-tile fan-out {fanout} cells "
+            f"(({tile_w_deg}/{grid.dx}+2) x ({tile_h_deg}/{grid.dy}+2)) exceeds "
+            f"max_fanout={max_fanout}; at N tiles the explode is N x {fanout} "
+            "rows — use a coarser assignment grid (fractions stay exact at "
+            "cell-edge-aligned boundaries) or raise max_fanout deliberately"
+        )
     x1 = F.col(lon_col) - F.lit(hw)
     x2 = F.col(lon_col) + F.lit(hw)
     y1 = F.col(lat_col) - F.lit(hh)

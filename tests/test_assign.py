@@ -242,3 +242,23 @@ def test_tile_fractional_blocked_identical_to_flat(spark, fancy_setup):
     assert set(flat) == set(two)
     for k in flat:
         np.testing.assert_allclose(two[k], flat[k], rtol=1e-12)
+
+
+def test_tile_fanout_guard(spark, fancy_setup):
+    """A scene-sized footprint on a fine grid must refuse the explode
+    (per-tile fan-out cap) instead of silently creating a 10^13-row
+    intermediate at production tile counts."""
+    from geoglue_spark.operators.assign import assign_tiles_fractional
+
+    _, cover, _ = fancy_setup
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [0], "lon": [5.0], "lat": [2.0]}),
+        "pid long, lon double, lat double",
+    )
+    with pytest.raises(ValueError, match="fan-out"):
+        assign_tiles_fractional(pts, cover, GRID, 40.0, 30.0, id_cols=["pid"])
+    # explicit opt-in still works
+    out = assign_tiles_fractional(
+        pts, cover, GRID, 40.0, 30.0, id_cols=["pid"], max_fanout=100000
+    ).collect()
+    assert len(out) > 0
