@@ -36,6 +36,16 @@ def decode_stats(images: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     decode output to a second scan by image_id would shuffle two
     fact-sized tables."""
     carry = tuple(c for c in carry)
+    base_out = {"image_id", "fmt", "w", "h", "mean_px", "std_px", "phash_check"}
+    clash = [c for c in carry if c in base_out]
+    if clash:
+        raise ValueError(
+            f"decode_stats carry column(s) {clash} collide with the base "
+            "output schema; rename them upstream"
+        )
+    missing = [c for c in carry if c not in images.columns]
+    if missing:
+        raise ValueError(f"decode_stats carry column(s) {missing} not in input")
     carry_schema = "".join(
         f", {f.name} {f.dataType.simpleString()}"
         for f in images.schema
