@@ -66,3 +66,61 @@ def test_streaming_running_stats(spark, tmp_path):
     assert len(m) == 5
     assert (m.n_s == m.n_b).all()
     assert (abs(m.sum_value_s - m.sum_value_b) < 1e-6).all()
+
+
+def test_streaming_admin_assignment_matches_batch(spark, tmp_path):
+    """The flagship cover join runs UNCHANGED under Structured Streaming:
+    broadcast cover + Arrow keep-kernel inside micro-batches, per-admin
+    counts identical to the batch plan over the same rows (north star:
+    streaming ingest of geocoded records with admin assignment). Files
+    arrive in two chunks to force multiple micro-batches."""
+    import numpy as np
+    import pandas as pd
+
+    from geoglue_spark.cover import build_cover
+    from geoglue_spark.grids import Grid
+    from geoglue_spark.operators.assign import assign_admin
+    from geoglue_spark.synth import _point_lat, _point_lon, admins_df
+
+    grid = Grid(x0=100.0, dx=0.05, nx=200, y0=10.0, dy=0.05, ny=200)
+    admins = admins_df(spark)
+    cover = build_cover(admins, grid, supersample=4).cache()
+    wkb = {r.admin_id: bytes(r.geometry) for r in admins.collect()}
+
+    i = np.arange(4000)
+    pdf = pd.DataFrame({"pid": i, "lat": _point_lat(i), "lon": _point_lon(i)})
+    src = str(tmp_path / "pts_in")
+    os.makedirs(src)
+    pdf.iloc[:2500].to_parquet(os.path.join(src, "a.parquet"), index=False)
+    pdf.iloc[2500:].to_parquet(os.path.join(src, "b.parquet"), index=False)
+
+    batch_pts = spark.createDataFrame(pdf)
+    want = {
+        r.admin_id: r["count"]
+        for r in assign_admin(batch_pts, cover, wkb, grid)
+        .groupBy("admin_id").count().collect()
+    }
+
+    schema = spark.read.parquet(os.path.join(src, "a.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    assigned = assign_admin(stream, cover, wkb, grid)
+    q = (
+        assigned.groupBy("admin_id").count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_assign_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_assign"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.admin_id: r["count"]
+        for r in spark.sql("SELECT * FROM stream_assign_out").collect()
+    }
+    assert got == want
+    assert sum(got.values()) == 4000
