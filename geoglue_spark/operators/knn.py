@@ -173,6 +173,34 @@ def knn_join(
                 ),
             )
         )
+        is_single_fast = (
+            len(ring_batches) == 1 and assume_small and not strict and stage == 0
+        )
+        if is_single_fast:
+            # hash-agg top-k instead of a sort-based window: collect the
+            # per-point candidates into an array, sort, slice — identical
+            # ranking (struct compares (dist_km, admin_id), the window's
+            # orderBy) but the shuffle feeds ObjectHashAggregate instead of
+            # a full partition sort. Measured ~15-20 % faster on 100k
+            # points x ~30 candidates; only valid when no settle bound or
+            # strict proof needs _kth_dist/_n.
+            return (
+                cand.groupBy(*id_cols)
+                .agg(
+                    F.slice(
+                        F.array_sort(F.collect_list(F.struct("dist_km", "admin_id"))),
+                        1,
+                        k,
+                    ).alias("_t")
+                )
+                .select(*id_cols, F.posexplode("_t").alias("_rk0", "_s"))
+                .select(
+                    *id_cols,
+                    F.col("_s.admin_id").alias("admin_id"),
+                    (F.col("_rk0") + 1).cast("int").alias("rk"),
+                    F.round(F.col("_s.dist_km"), 6).alias("dist_km"),
+                )
+            )
         w = Window.partitionBy(*id_cols).orderBy(F.col("dist_km"), F.col("admin_id"))
         whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         topk = (
