@@ -75,7 +75,11 @@ def parse_operations(ops: str) -> tuple[list[str], bool]:
         for kv in filter(None, (p.strip() for p in params.split(","))):
             k, _, v = kv.partition("=")
             if name in ("quantile", "approx_quantile") and k.strip() == "q":
-                resolved = f"{name}({float(v)})"  # internal parameterized form
+                # fixed-point, never scientific: repr(1e-05) is '1e-05',
+                # which the internal-form regex cannot match (q is rounded
+                # to 12 decimals, far below any percentile's significance)
+                q_txt = f"{float(v):.12f}".rstrip("0").rstrip(".")
+                resolved = f"{name}({q_txt or '0'})"  # internal form
             if k.strip() == "coverage_weight":
                 if v.strip() == "area_spherical_km2":
                     op_spherical = True

@@ -213,7 +213,8 @@ def assign_tiles_fractional(
 
     Each tile is the bbox ``[lon +/- w/2] x [lat +/- h/2]`` around its
     center. The tile explodes to its candidate grid cells (bounded
-    fan-out: (w/dx+1) x (h/dy+1), independent of admin count), broadcast-
+    fan-out: at most (w/dx+2) x (h/dy+2), independent of admin count
+    — +2 because both bbox edges can land mid-cell), broadcast-
     equi-joins the cell cover, and per (tile, admin) sums
     ``coverage x area(cell INTERSECT tile) / area(tile)`` — all pure
     Column arithmetic inside codegen, one shuffle (the final groupBy).

@@ -36,12 +36,18 @@ def decode_stats(images: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     decode output to a second scan by image_id would shuffle two
     fact-sized tables."""
     carry = tuple(c for c in carry)
-    base_out = {"image_id", "fmt", "w", "h", "mean_px", "std_px", "phash_check"}
-    clash = [c for c in carry if c in base_out]
+    # both the output names AND the base input selection: carrying e.g.
+    # "bytes" or "phash" would duplicate the column in the select and the
+    # executor-side pdf[c] would return a 2-column frame
+    base = {
+        "image_id", "bytes", "fmt", "w", "h", "phash",
+        "mean_px", "std_px", "phash_check",
+    }
+    clash = [c for c in carry if c in base]
     if clash:
         raise ValueError(
             f"decode_stats carry column(s) {clash} collide with the base "
-            "output schema; rename them upstream"
+            "input/output schema; rename them upstream"
         )
     missing = [c for c in carry if c not in images.columns]
     if missing:

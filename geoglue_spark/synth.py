@@ -144,6 +144,24 @@ _DIMS = [8, 16, 32]
 DUP_EVERY = 97  # every 97th image repeats the previous content (dedup tests)
 
 
+def _image_content_ids(ids: np.ndarray) -> np.ndarray:
+    """Content id per row id: every DUP_EVERY-th image repeats the
+    previous content (the injected duplicates dedup tests depend on)."""
+    return np.where(ids % DUP_EVERY == 0, np.maximum(ids - 1, 0), ids)
+
+
+def _image_spec(ci: int) -> tuple[int, int, str, bool]:
+    """(w, h, fmt, color) for a content id — the SINGLE definition shared
+    by the distributed generator, the driver-local fixture, and the
+    ground-truth table: a change here changes all three together."""
+    return (
+        _DIMS[int(ci) % 3],
+        _DIMS[int(ci + 1) % 3],
+        _FMTS[int(ci) % 3],
+        ci % 2 == 0,
+    )
+
+
 def _point_lat(i: np.ndarray) -> np.ndarray:
     u = ((i * 48271 + 7) % 99991) / 99991.0
     return np.where(i % 5 < 4, 12.25 + u * 0.5, 10.0 + u * 10.0)
@@ -166,13 +184,11 @@ def images_table(spark: SparkSession, n: int, partitions: int | None = None) -> 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            content = np.where(ids % DUP_EVERY == 0, np.maximum(ids - 1, 0), ids)
+            content = _image_content_ids(ids)
             recs = []
             for i, ci in zip(ids, content):
-                w = _DIMS[int(ci) % 3]
-                h = _DIMS[int(ci + 1) % 3]
-                fmt = _FMTS[int(ci) % 3]
-                pix = synth_pixels(int(ci), w, h, color=(ci % 2 == 0))
+                w, h, fmt, color = _image_spec(int(ci))
+                pix = synth_pixels(int(ci), w, h, color=color)
                 recs.append(
                     (
                         f"img{i:012d}",
@@ -201,13 +217,11 @@ def images_pandas(n: int) -> pd.DataFrame:
     benchmarks measure scan+assign, not synthesis, and so the DuckDB oracle
     can read the very same rows."""
     ids = np.arange(n, dtype=np.int64)
-    content = np.where(ids % DUP_EVERY == 0, np.maximum(ids - 1, 0), ids)
+    content = _image_content_ids(ids)
     recs = []
     for i, ci in zip(ids, content):
-        w = _DIMS[int(ci) % 3]
-        h = _DIMS[int(ci + 1) % 3]
-        fmt = _FMTS[int(ci) % 3]
-        pix = synth_pixels(int(ci), w, h, color=(ci % 2 == 0))
+        w, h, fmt, color = _image_spec(int(ci))
+        pix = synth_pixels(int(ci), w, h, color=color)
         recs.append(
             (
                 f"img{i:012d}",
@@ -246,12 +260,11 @@ def image_truth_parquet(n: int, root: str = "/root/repo/.cache") -> str:
     if not os.path.exists(path):
         os.makedirs(root, exist_ok=True)
         ids = np.arange(n, dtype=np.int64)
-        content = np.where(ids % DUP_EVERY == 0, np.maximum(ids - 1, 0), ids)
+        content = _image_content_ids(ids)
         recs = []
         for i, ci in zip(ids, content):
-            w = _DIMS[int(ci) % 3]
-            h = _DIMS[int(ci + 1) % 3]
-            pix = synth_pixels(int(ci), w, h, color=(ci % 2 == 0))
+            w, h, _fmt, color = _image_spec(int(ci))
+            pix = synth_pixels(int(ci), w, h, color=color)
             gray = _to_gray(pix.astype(np.float64))
             recs.append((f"img{i:012d}", float(gray.mean()), int(w * h)))
         tmp = f"{path}.tmp-{os.getpid()}"

@@ -232,3 +232,16 @@ def test_compute_config_resamples_raster_onto_weights_grid(spark, tmp_path):
     w = 1.0 + lons
     expected = float((w * lons).sum() / w.sum())  # = 1.041015625
     np.testing.assert_allclose(out[0]["weighted_mean"], expected, rtol=1e-9)
+
+
+def test_parse_operations_small_q_fixed_point():
+    """q values whose float repr is scientific (1e-05) must still resolve
+    to the regex-matchable fixed-point internal form."""
+    from geoglue_spark.api import parse_operations
+
+    names, _ = parse_operations(
+        "quantile(q=0.00001), approx_quantile(q=0.00001), quantile(q=1.0), quantile(q=0)"
+    )
+    assert names == [
+        "quantile(0.00001)", "approx_quantile(0.00001)", "quantile(1)", "quantile(0)",
+    ]

@@ -241,3 +241,24 @@ def test_image_truth_matches_distributed_decode(spark, tmp_path):
     assert (lossless.mean_px_x == lossless.mean_px_y).all()
     # quantization moves the mean for (nearly) every qnt image
     assert (lossy.mean_px_x != lossy.mean_px_y).mean() > 0.9
+
+
+def test_decode_stats_carry_validation(spark):
+    """Carrying a base input/output column would duplicate it in the
+    select and crash the Arrow task with an opaque error; unknown names
+    should fail fast too."""
+    import pytest
+
+    from geoglue_spark.operators.multimodal import decode_stats
+    from geoglue_spark.synth import images_table
+
+    imgs = images_table(spark, 5)
+    with pytest.raises(ValueError, match="collide"):
+        decode_stats(imgs, carry=("bytes",))
+    with pytest.raises(ValueError, match="collide"):
+        decode_stats(imgs, carry=("phash",))
+    with pytest.raises(ValueError, match="not in input"):
+        decode_stats(imgs, carry=("nope",))
+    # a legitimate carry still works
+    out = decode_stats(imgs, carry=("caption",)).toPandas()
+    assert "caption" in out.columns and len(out) == 5

@@ -119,3 +119,46 @@ def test_haversine_column(spark):
         haversine_km_col(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")
     ).collect()[0].km
     assert abs(km - 111.19) < 0.1  # one degree of latitude
+
+
+def test_knn_fast_path_matches_window_and_bruteforce(spark, cents):
+    """assume_small's hash-agg top-k must equal the staged/window path row
+    for row INCLUDING dist_km (the oracle query never compares distances),
+    and both must match the NumPy brute-force oracle."""
+    n = 400
+    i = np.arange(n)
+    lon = 100.0 + (i * 7919 % 9973) / 9973.0 * 10.0
+    lat = 10.0 + (i * 6007 % 9973) / 9973.0 * 10.0
+    pts = spark.createDataFrame(pd.DataFrame({"pid": i, "lon": lon, "lat": lat}))
+
+    fast = (
+        knn_join(pts, cents, GRID, k=3, id_cols=["pid"], assume_small=True)
+        .toPandas()
+        .sort_values(["pid", "rk"])
+        .reset_index(drop=True)
+    )
+    slow = (
+        knn_join(pts, cents, GRID, k=3, id_cols=["pid"], assume_small=False)
+        .toPandas()
+        .sort_values(["pid", "rk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        fast[["pid", "rk", "admin_id", "dist_km"]],
+        slow[["pid", "rk", "admin_id", "dist_km"]],
+    )
+
+    cpdf = cents.toPandas()
+    d = _haversine_np(
+        lon[:, None], lat[:, None],
+        cpdf.clon.to_numpy()[None, :], cpdf.clat.to_numpy()[None, :],
+    )
+    by_pid = fast.set_index(["pid", "rk"])
+    for pid in range(n):
+        order = np.lexsort((cpdf.admin_id.to_numpy(), d[pid]))
+        for rk in (1, 2, 3):
+            want_admin = cpdf.admin_id.to_numpy()[order[rk - 1]]
+            want_dist = round(float(d[pid][order[rk - 1]]), 6)
+            row = by_pid.loc[(pid, rk)]
+            assert row.admin_id == want_admin, (pid, rk)
+            assert abs(row.dist_km - want_dist) < 1e-9, (pid, rk)
