@@ -1121,6 +1121,143 @@ FROM vals GROUP BY 1
 """
 
 
+def q_resample_idw_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 remapdis analog: inverse-distance-weighted mean of the k=4
+    nearest non-null source cells per target pixel, found by k-ring
+    expansion. Oracle: both grids and the synthetic field are closed-form,
+    so DuckDB replicates the candidate ring, the NaN coastline mask, the
+    (dist2, cell-id) ranking and the 1/sqrt(d) weighting exactly.
+
+    Target offsets are deliberately INCOMMENSURATE with the source step
+    (0.523/0.481 vs 0.25): a half-step-aligned target center is
+    equidistant from two sources in real arithmetic, and then the
+    k-th-neighbor choice hinges on sub-ulp pow() differences between
+    engines. This grid was checked to have zero exact ties and a minimum
+    candidate-distance gap of 5e-15 — ~15x above cross-implementation
+    float noise, so the ranking is engine-independent."""
+    from .operators.resample import resample_distance
+    from .synth import grid_pixels_table
+
+    src = Grid(x0=100.0, dx=0.25, nx=65, y0=10.0, dy=0.25, ny=33)
+    tgt = Grid(x0=100.309, dx=0.523, nx=17, y0=10.271, dy=0.481, ny=9)
+    px = grid_pixels_table(spark, hours=1).filter("var = 't2m'")
+    out = resample_distance(px, src, tgt, k=4, ring=2)
+    return out.select(
+        F.round("lon", 6).alias("lon"),
+        F.round("lat", 6).alias("lat"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_RESAMPLE_IDW_SUMMARY = """
+WITH tgt AS (
+  SELECT tix, tiy,
+         100.309 + (tix + 0.5) * 0.523 AS tlon,
+         10.271 + (tiy + 0.5) * 0.481 AS tlat
+  FROM (SELECT unnest(generate_series(0, 16)) AS tix),
+       (SELECT unnest(generate_series(0, 8)) AS tiy)
+),
+src AS (
+  SELECT iy * 65 + ix AS scell, ix, iy,
+         CASE WHEN (ix * 7 + iy * 13) % 23 = 0 THEN NULL
+              ELSE 280.0 + sin((100.0 + ix * 0.25) / 10) * 5
+                   + cos((10.0 + iy * 0.25) / 10) * 3 + 0.0
+         END AS value
+  FROM (SELECT unnest(generate_series(0, 64)) AS ix),
+       (SELECT unnest(generate_series(0, 32)) AS iy)
+),
+cand AS (
+  SELECT t.tix, t.tiy, t.tlon, t.tlat,
+         CAST(floor((t.tlon - 100.125) / 0.25 + 0.5) AS BIGINT) + o.ox AS sx,
+         CAST(floor((t.tlat - 10.125) / 0.25 + 0.5) AS BIGINT) + o.oy AS sy
+  FROM tgt t,
+       (SELECT a.v AS ox, b.v AS oy
+        FROM (SELECT unnest(generate_series(-2, 2)) AS v) a,
+             (SELECT unnest(generate_series(-2, 2)) AS v) b) o
+),
+j AS (
+  SELECT c.tix, c.tiy, c.tlon, c.tlat, s.scell, s.value,
+         pow(c.tlon - (100.125 + c.sx * 0.25), 2)
+       + pow(c.tlat - (10.125 + c.sy * 0.25), 2) AS dist2
+  FROM cand c
+  JOIN src s ON s.scell = c.sy * 65 + c.sx
+  WHERE c.sx BETWEEN 0 AND 64 AND c.sy BETWEEN 0 AND 32
+    AND s.value IS NOT NULL
+),
+k AS (
+  SELECT *, row_number() OVER (PARTITION BY tix, tiy
+                               ORDER BY dist2, scell) AS rn
+  FROM j
+)
+SELECT round(tlon, 6) AS lon, round(tlat, 6) AS lat,
+       round(sum(value / sqrt(dist2 + 1e-30))
+             / sum(1.0 / sqrt(dist2 + 1e-30)), 6) AS value
+FROM k WHERE rn <= 4
+GROUP BY tix, tiy, tlon, tlat
+"""
+
+
+def q_rolling_weekly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 rolling warm-up window: trailing 4-week mean of weekly event
+    counts per event type (the reference's rolling weekly reduce)."""
+    from .operators.timeagg import rolling_weekly, week_start_col
+
+    ev = _table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", week_start_col(F.to_date("ts")).alias("week_start")
+    ).agg(F.count("*").alias("n"))
+    out = rolling_weekly(weekly, window=4, how="mean", value_col="n",
+                         keys=["event_type"])
+    return out.select(
+        "event_type",
+        F.col("week_start").cast("string").alias("week_start"),
+        "n",
+        F.round("rolling_mean", 6).alias("rolling_mean_n"),
+    )
+
+
+SQL_ROLLING_WEEKLY_EVENTS = """
+WITH weekly AS (
+  SELECT event_type,
+         CAST(ts AS DATE) - CAST(isodow(CAST(ts AS DATE)) - 1 AS INT) AS week_start,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       strftime(week_start, '%Y-%m-%d') AS week_start,
+       n,
+       round(avg(n) OVER (
+         PARTITION BY event_type
+         ORDER BY epoch(CAST(week_start AS TIMESTAMP))
+         RANGE BETWEEN 2419200 PRECEDING AND CURRENT ROW), 6) AS rolling_mean_n
+FROM weekly
+"""
+
+
+def q_month_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/I3 pre-commit gate: per-month last observed date + completeness
+    (a month is complete when its max date is the month's last day — the
+    open trailing month must come back incomplete)."""
+    from .operators.timeagg import month_completeness
+
+    ev = _table(spark, sf_dir, "events")
+    out = month_completeness(ev, time_col="ts")
+    return out.select(
+        "year", "month",
+        F.col("last_date").cast("string").alias("last_date"),
+        "complete",
+    )
+
+
+SQL_MONTH_COMPLETENESS = """
+SELECT CAST(year(ts) AS INT) AS year,
+       CAST(month(ts) AS INT) AS month,
+       strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS last_date,
+       max(CAST(ts AS DATE)) = last_day(max(CAST(ts AS DATE))) AS complete
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_doc_quality_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality-signal summary: punctuation-character ratio and
     English-stopword token ratio (the length/punct/stopword trio of
@@ -1636,6 +1773,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_decode_stats": q_images_decode_stats,
         "raster_zonal_weighted_mean": q_raster_zonal_weighted_mean,
         "resample_bilinear_summary": q_resample_bilinear_summary,
+        "resample_idw_summary": q_resample_idw_summary,
+        "rolling_weekly_events": q_rolling_weekly_events,
+        "month_completeness": q_month_completeness,
         "lang_id_counts": q_lang_id_counts,
         "daily_stats_registry": q_daily_stats_registry,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
@@ -1674,6 +1814,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dupes": SQL_MINHASH_NEAR_DUPES,
         "raster_zonal_weighted_mean": SQL_RASTER_ZONAL_WEIGHTED_MEAN,
         "resample_bilinear_summary": SQL_RESAMPLE_BILINEAR_SUMMARY,
+        "resample_idw_summary": SQL_RESAMPLE_IDW_SUMMARY,
+        "rolling_weekly_events": SQL_ROLLING_WEEKLY_EVENTS,
+        "month_completeness": SQL_MONTH_COMPLETENESS,
         "ann_cosine_topk_lsh": SQL_ANN_COSINE_TOPK_LSH,
         # the at-rest index must return IDENTICAL rows to the live LSH
         # query — the same oracle applies verbatim
