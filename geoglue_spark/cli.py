@@ -256,8 +256,13 @@ def cmd_zonalstats(args: argparse.Namespace) -> int:
     ]
     nna = 0
     if stat_cols:
+        # backtick-escape: op columns like "quantile(0.9)" contain a dot
+        # that an unescaped column reference parses as nested-field access
         row = out.agg(
-            *[F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c) for c in stat_cols]
+            *[
+                F.sum(F.when(F.col(f"`{c}`").isNull(), 1).otherwise(0)).alias(c)
+                for c in stat_cols
+            ]
         ).collect()[0]
         nna = sum(int(v or 0) for v in row)
     print(f"zonalstats\tNA={nna} {cfg}")

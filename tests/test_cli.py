@@ -209,3 +209,20 @@ def test_zonalstats_cli_all_real_inputs(spark, tmp_path, capsys):
     # lineage round-trips through the output column
     cfgs = read_job_configs(rows[0]["geoglue_config"])
     assert cfgs[0].weights and cfgs[0].resample == "remapdis"
+
+
+def test_zonalstats_cli_approx_quantile(spark, tmp_path, region_file, capsys):
+    """approx_quantile(q=...) flows through the CLI op-string parser into
+    the GK sketch aggregate; constant raster -> the quantile is the value."""
+    rows = [(100.125 + ix * 0.25, 10.125 + iy * 0.25, 5.0)
+            for iy in range(16) for ix in range(16)]
+    rp = str(tmp_path / "r.parquet")
+    spark.createDataFrame(rows, "lon double, lat double, value double").write.parquet(rp)
+    out = str(tmp_path / "out.zs.parquet")
+    rc = main(["zonalstats", rp, f"{region_file}::GID_2",
+               "--operation", "approx_median, approx_quantile(q=0.9)", "-o", out])
+    assert rc == 0
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    assert got[0]["approx_median"] == 5.0
+    assert got[0]["approx_quantile(0.9)"] == 5.0
