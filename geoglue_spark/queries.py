@@ -1258,6 +1258,70 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_raster_na_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A9 global-sum + NA-fraction stats over the synthetic raster: the
+    NaN 'coastline' mask is closed-form ((ix*7 + iy*13) % 23 == 0), so the
+    oracle recomputes counts, fraction, and the non-NA global sum exactly
+    — the same expressions validate.na_fraction / summary gates use."""
+    from .synth import grid_pixels_table
+
+    px = grid_pixels_table(spark, hours=2)
+    v = F.col("value")
+    is_na = v.isNull() | F.isnan(v)
+    return px.groupBy("var").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(is_na, 1).otherwise(0)).alias("n_na"),
+        F.round(F.sum(F.when(is_na, 1).otherwise(0)) / F.count("*"), 6).alias(
+            "na_frac"
+        ),
+        F.round(F.sum(F.when(~is_na, v)), 3).alias("sum_value"),
+    )
+
+
+SQL_RASTER_NA_SUMMARY = """
+WITH src AS (
+  SELECT var, ih,
+         CASE WHEN (ix * 7 + iy * 13) % 23 = 0 THEN NULL
+              WHEN var = 't2m'
+              THEN 280.0 + sin((100.0 + ix * 0.25) / 10) * 5
+                   + cos((10.0 + iy * 0.25) / 10) * 3 + (ih % 24) * 0.1
+              ELSE greatest(0.0,
+                   sin((100.0 + ix * 0.25) + (10.0 + iy * 0.25) + ih / 7.0) * 2.0)
+         END AS value
+  FROM (SELECT unnest(generate_series(0, 64)) AS ix),
+       (SELECT unnest(generate_series(0, 32)) AS iy),
+       (SELECT unnest(generate_series(0, 1)) AS ih),
+       (SELECT unnest(['t2m', 'tp']) AS var)
+)
+SELECT var, count(*) AS n,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_na,
+       round(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS na_frac,
+       round(sum(value), 3) AS sum_value
+FROM src GROUP BY 1
+"""
+
+
+def q_validate_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 value-range gate expressions as a summary: out-of-range counts
+    per event type (the aggregation check_value_range raises on)."""
+    ev = _table(spark, sf_dir, "events")
+    lo, hi = 10.0, 90.0
+    oob = (F.col("value") < lo) | (F.col("value") > hi)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(oob, 1).otherwise(0)).alias("n_oob"),
+    )
+
+
+SQL_VALIDATE_VALUE_RANGE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CASE WHEN value < 10.0 OR value > 90.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oob
+FROM events GROUP BY 1
+"""
+
+
 def q_doc_quality_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality-signal summary: punctuation-character ratio and
     English-stopword token ratio (the length/punct/stopword trio of
@@ -1776,6 +1840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_idw_summary": q_resample_idw_summary,
         "rolling_weekly_events": q_rolling_weekly_events,
         "month_completeness": q_month_completeness,
+        "raster_na_summary": q_raster_na_summary,
+        "validate_value_range": q_validate_value_range,
         "lang_id_counts": q_lang_id_counts,
         "daily_stats_registry": q_daily_stats_registry,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
@@ -1817,6 +1883,8 @@ def oracle_sql() -> dict[str, str]:
         "resample_idw_summary": SQL_RESAMPLE_IDW_SUMMARY,
         "rolling_weekly_events": SQL_ROLLING_WEEKLY_EVENTS,
         "month_completeness": SQL_MONTH_COMPLETENESS,
+        "raster_na_summary": SQL_RASTER_NA_SUMMARY,
+        "validate_value_range": SQL_VALIDATE_VALUE_RANGE,
         "ann_cosine_topk_lsh": SQL_ANN_COSINE_TOPK_LSH,
         # the at-rest index must return IDENTICAL rows to the live LSH
         # query — the same oracle applies verbatim
