@@ -262,3 +262,61 @@ def test_tile_fanout_guard(spark, fancy_setup):
         pts, cover, GRID, 40.0, 30.0, id_cols=["pid"], max_fanout=100000
     ).collect()
     assert len(out) > 0
+
+
+def test_tile_fractional_edge_aligned_cases(spark, fancy_setup):
+    """Adversarial geometry: tile edges EXACTLY on cell boundaries (overlap
+    contributions of exactly zero must drop), center exactly on a cell
+    corner, sub-cell tiles, and a tile hanging off the grid edge (off-grid
+    area is unassigned, never aliased onto edge cells)."""
+    from geoglue_spark.operators.assign import assign_tiles_fractional
+
+    _, cover, _ = fancy_setup
+    # GRID: x0=0, dx=0.25 — all these coordinates are exact binary floats
+    cases = pd.DataFrame({
+        "pid": [0, 1, 2, 3],
+        "lon": [5.375, 5.5, 5.4375, -0.125],  # cell center / corner / interior / west edge
+        "lat": [2.125, 2.0, 2.0625, 2.125],
+    })
+    tw, th = 0.5, 0.5  # = 2 cells: edge-aligned for pid 0 (center at cell center)
+    pts = spark.createDataFrame(cases, "pid long, lon double, lat double")
+    got = assign_tiles_fractional(pts, cover, GRID, tw, th, id_cols=["pid"]).toPandas()
+
+    cov = cover.select("cell_id", "admin_id", "coverage").toPandas()
+    cov_map = {}
+    for r in cov.itertuples(index=False):
+        cov_map.setdefault(int(r.cell_id), []).append((r.admin_id, float(r.coverage)))
+
+    def oracle(cx, cy):
+        x1, x2, y1, y2 = cx - tw / 2, cx + tw / 2, cy - th / 2, cy + th / 2
+        acc = {}
+        for ix in range(int(np.floor((x1 - GRID.x0) / GRID.dx)) - 1,
+                        int(np.floor((x2 - GRID.x0) / GRID.dx)) + 2):
+            if not (0 <= ix < GRID.nx):
+                continue
+            for iy in range(int(np.floor((y1 - GRID.y0) / GRID.dy)) - 1,
+                            int(np.floor((y2 - GRID.y0) / GRID.dy)) + 2):
+                if not (0 <= iy < GRID.ny):
+                    continue
+                gx1 = GRID.x0 + ix * GRID.dx
+                gy1 = GRID.y0 + iy * GRID.dy
+                ox = max(0.0, min(x2, gx1 + GRID.dx) - max(x1, gx1))
+                oy = max(0.0, min(y2, gy1 + GRID.dy) - max(y1, gy1))
+                if ox * oy == 0:
+                    continue
+                for aid, cv in cov_map.get(iy * GRID.nx + ix, ()):
+                    acc[aid] = acc.get(aid, 0.0) + cv * ox * oy / (tw * th)
+        return acc
+
+    for pid in cases.pid:
+        want = oracle(cases.lon[pid], cases.lat[pid])
+        got_p = got[got.pid == pid].set_index("admin_id")["frac"].to_dict()
+        assert set(got_p) == {a for a, v in want.items() if v > 0}, pid
+        for a, v in got_p.items():
+            np.testing.assert_allclose(v, want[a], rtol=1e-12)
+    # pid 0/1/2 are deep in the donut arm: full mass; pid 3 hangs half off
+    # the grid west edge: exactly the on-grid half of its mass remains
+    tot = got.groupby("pid")["frac"].sum()
+    for pid in (0, 1, 2):
+        np.testing.assert_allclose(tot[pid], 1.0, rtol=1e-12)
+    assert 3 not in tot.index or tot[3] <= 0.5 + 1e-12
