@@ -185,6 +185,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "raster_zonal_weighted_mean",
         "daily_stats_registry",
         "winnow_fingerprint_stats",
+        "resample_idw_summary",
+        "rolling_weekly_events",
+        "month_completeness",
+        "raster_na_summary",
+        "validate_value_range",
     ]
     qs = Q.queries()
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
