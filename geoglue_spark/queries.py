@@ -1258,6 +1258,31 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_concat_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 concat + lineage combination: two overlapping event frames with
+    different job configs concatenate; the lineage column becomes the
+    ordered-distinct newline-join (INPUT order, not collection order —
+    flipping the order would flip the string and fail the hash)."""
+    from .operators.merge import concat_with_lineage
+
+    ev = _table(spark, sf_dir, "events")
+    a = ev.filter("event_id % 2 = 0").withColumn("geoglue_config", F.lit("cfg=a"))
+    b = ev.withColumn("geoglue_config", F.lit("cfg=b"))
+    out = concat_with_lineage([a, b], lineage_col="geoglue_config")
+    return out.groupBy("geoglue_config").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("event_id").alias("n_ids"),
+    )
+
+
+SQL_CONCAT_LINEAGE = """
+SELECT 'cfg=a' || chr(10) || 'cfg=b' AS geoglue_config,
+       (SELECT count(*) FROM events WHERE event_id % 2 = 0)
+         + (SELECT count(*) FROM events) AS n,
+       (SELECT count(DISTINCT event_id) FROM events) AS n_ids
+"""
+
+
 def q_raster_na_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/A9 global-sum + NA-fraction stats over the synthetic raster: the
     NaN 'coastline' mask is closed-form ((ix*7 + iy*13) % 23 == 0), so the
@@ -1842,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "month_completeness": q_month_completeness,
         "raster_na_summary": q_raster_na_summary,
         "validate_value_range": q_validate_value_range,
+        "concat_lineage": q_concat_lineage,
         "lang_id_counts": q_lang_id_counts,
         "daily_stats_registry": q_daily_stats_registry,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
@@ -1885,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
         "month_completeness": SQL_MONTH_COMPLETENESS,
         "raster_na_summary": SQL_RASTER_NA_SUMMARY,
         "validate_value_range": SQL_VALIDATE_VALUE_RANGE,
+        "concat_lineage": SQL_CONCAT_LINEAGE,
         "ann_cosine_topk_lsh": SQL_ANN_COSINE_TOPK_LSH,
         # the at-rest index must return IDENTICAL rows to the live LSH
         # query — the same oracle applies verbatim
