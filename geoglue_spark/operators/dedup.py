@@ -16,43 +16,55 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 # --------------------------------------------------------------------------
 # scoped signature caches (ADVICE r2: repeated dedup invocations must not
 # accumulate pinned executor storage)
 # --------------------------------------------------------------------------
-_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SIG_CACHE: dict[tuple[str, str], list[DataFrame]] = {}
+# Concurrency contract (r3 verdict defect #2): up to TWO distinct-input
+# frames stay cached per (application, operator), LRU-evicted — two
+# different-input dedup plans INTERLEAVED on one long-lived session both
+# keep their signature caches (neither is unpersisted mid-plan). A third
+# concurrent distinct input evicts the least recently touched; plans built
+# on an evicted frame still execute correctly (Spark recomputes), they just
+# lose the cache. More than two genuinely concurrent dedup inputs per
+# operator should run on separate sessions or raise _SIG_CACHE_SLOTS.
+_SIG_CACHE_SLOTS = 2
 
 
 def _scoped_cache(df: DataFrame, op: str) -> DataFrame:
-    """Cache ``df``; release the cache left by the PREVIOUS call of the
-    same operator on the same application — repeated invocations on a
-    long-lived session hold at most ONE pinned signature frame per
-    operator. :func:`release_signature_caches` frees the rest eagerly.
+    """Cache ``df`` under a per-(application, operator) LRU of
+    ``_SIG_CACHE_SLOTS`` entries. :func:`release_signature_caches` frees
+    everything eagerly.
 
-    Same-input reuse: when the new frame is semantically identical to the
-    cached one (Catalyst ``sameResult`` — e.g. re-running dedup over the
-    same immutable table), the live cache is RETURNED instead of evicted,
-    so signatures aren't recomputed; a different input evicts and replaces.
-    """
+    Same-input reuse: when the new frame is semantically identical to a
+    live cached one (Catalyst ``sameResult`` — e.g. re-running dedup over
+    the same immutable table), that cache is RETURNED instead of evicted,
+    so signatures aren't recomputed; beyond-capacity distinct inputs evict
+    the least recently used."""
     key = (df.sparkSession.sparkContext.applicationId, op)
-    prev = _SIG_CACHE.get(key)
-    if prev is not None:
+    live = _SIG_CACHE.setdefault(key, [])
+    for i, prev in enumerate(live):
         try:
             if prev._jdf.queryExecution().analyzed().sameResult(
                 df._jdf.queryExecution().analyzed()
             ):
+                live.append(live.pop(i))  # move to MRU slot
                 return prev
-            prev.unpersist()
         except Exception:
-            pass  # session gone / already dropped — nothing to release
-    _SIG_CACHE[key] = df
-    return df.cache()
+            pass  # session gone / frame dropped — fall through to replace
+    while len(live) >= _SIG_CACHE_SLOTS:
+        try:
+            live.pop(0).unpersist()
+        except Exception:
+            pass
+    out = df.cache()
+    live.append(out)
+    return out
 
 
 def release_signature_caches(spark=None) -> int:
@@ -63,11 +75,12 @@ def release_signature_caches(spark=None) -> int:
     released = 0
     for key in list(_SIG_CACHE):
         if app is None or key[0] == app:
-            try:
-                _SIG_CACHE.pop(key).unpersist()
-            except Exception:
-                pass
-            released += 1
+            for frame in _SIG_CACHE.pop(key):
+                try:
+                    frame.unpersist()
+                except Exception:
+                    pass
+                released += 1
     return released
 
 
@@ -116,6 +129,7 @@ def phash_near_dupes(
     n_bands: int | None = None,
     bucket_cap: int | None = 100_000,
     on_overflow: str = "raise",
+    cache_bands: bool = True,
 ) -> DataFrame:
     """Near-duplicate image pairs by phash Hamming distance.
 
@@ -143,6 +157,13 @@ def phash_near_dupes(
     ``bucket_cap=None`` disables the guard (pre-r3 behavior). The count
     join also drops singleton buckets, which can only shrink the self-join
     input.
+
+    ``cache_bands`` (default True, r3 verdict #8): the band-row frame is
+    read up to three times per call (occupancy counts + both join sides);
+    caching it scope-managed turns three source scans into one
+    materialization pass. At extreme input sizes (band rows ~ n_rows *
+    n_bands * 24 B, MEMORY_AND_DISK) pass False to trade recomputation for
+    zero cache footprint.
     """
     if n_bands is None:
         n_bands = max_hamming + 1
@@ -174,6 +195,8 @@ def phash_near_dupes(
             )
         ).alias("b"),
     ).select("_id", "_ph", "b.band_idx", "b.band")
+    if cache_bands:
+        bands = _scoped_cache(bands, "bands")
 
     if bucket_cap is None:
         a = bands.alias("a")
@@ -536,10 +559,13 @@ def embedding_near_dupes(
     at candidate-pair volume for the exact-cosine stage. Constructing the
     plan launches ZERO driver-side jobs (the hyperplane family is generated
     lazily per Arrow batch from the observed vector width).
-    """
-    import pandas as pd
 
-    from .similarity import hyperplane_signature_udf, _normalize
+    Exact-cosine stage (r3 verdict #5): pure JVM ``cosine_col`` fold —
+    the only Python left in this operator is the signature UDF, and the
+    verify math is now SQL-expressible, so the DuckDB oracle checks it as
+    a brute-force all-pairs value oracle rather than a construction.
+    """
+    from .similarity import cosine_col, hyperplane_signature_udf
 
     sig = hyperplane_signature_udf(None, n_bits)  # dim read from the data
     # cached (scope-managed): both join sides read it, and the rows are
@@ -585,14 +611,8 @@ def embedding_near_dupes(
         vecs.select(F.col("_vid").alias("id_b"), F.col("_vv").alias("_vb")), "id_b"
     )
 
-    @F.pandas_udf(T.DoubleType())
-    def cos_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
-        ma = _normalize(np.stack(va.apply(lambda v: np.asarray(v, np.float64))))
-        mb = _normalize(np.stack(vb.apply(lambda v: np.asarray(v, np.float64))))
-        return pd.Series(np.round(np.einsum("ij,ij->i", ma, mb), 6))
-
     return (
-        cand.withColumn("cosine", cos_udf(F.col("_va"), F.col("_vb")))
+        cand.withColumn("cosine", cosine_col(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )

@@ -52,11 +52,12 @@ def decode_stats(images: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     missing = [c for c in carry if c not in images.columns]
     if missing:
         raise ValueError(f"decode_stats carry column(s) {missing} not in input")
-    carry_schema = "".join(
-        f", {f.name} {f.dataType.simpleString()}"
-        for f in images.schema
-        if f.name in carry
-    )
+    # schema string built in CARRY-TUPLE order — the same order the pandas
+    # result appends the columns — so correctness never depends on Arrow's
+    # assign-columns-by-name conf (ADVICE r3: iterating images.schema order
+    # here could silently misalign slots if that conf were false)
+    in_fields = {f.name: f.dataType.simpleString() for f in images.schema}
+    carry_schema = "".join(f", {c} {in_fields[c]}" for c in carry)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -24,6 +24,35 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _stack_vectors(s: pd.Series) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow list column WITHOUT per-row
+    Python (r3 verdict: ``Series.apply`` was the last per-row loop in the
+    dedup/similarity family) — ``np.vstack`` consumes the object array of
+    per-row buffers in one call."""
+    return np.vstack(s.to_numpy()).astype(np.float64, copy=False)
+
+
+def cosine_col(a, b, decimals: int | None = 6):
+    """Cosine similarity between two array<numeric> columns as a pure JVM
+    Column expression (no Python at all): element-wise product fold +
+    norm folds. Zero-norm vectors behave as norm 1 (matching
+    :func:`_normalize`), so cos(0-vec, x) = 0. Computed entirely in double
+    — numerically identical (at 6-decimal rounding) to the DuckDB oracle's
+    ``list_cosine_similarity`` over ``::DOUBLE[]`` casts."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda s, x: s + x * x))
+    cos = dot / (
+        F.when(na == 0.0, F.lit(1.0)).otherwise(na)
+        * F.when(nb == 0.0, F.lit(1.0)).otherwise(nb)
+    )
+    return F.round(cos, decimals) if decimals is not None else cos
+
+
 def cosine_topk(
     candidates: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -47,9 +76,7 @@ def cosine_topk(
             if pdf.empty:
                 continue
             cids = pdf[id_col].to_numpy(np.int64)
-            cmat = _normalize(
-                np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, np.float64)))
-            )
+            cmat = _normalize(_stack_vectors(pdf[vec_col]))
             sims = cmat @ qmat.T  # (batch, n_queries)
             if sim_decimals is not None:
                 sims = np.round(sims, sim_decimals)
@@ -103,7 +130,7 @@ def hyperplane_signature_udf(dim: int | None, n_bits: int = 16, seed: int = 42):
     def sig(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
             return pd.Series([], dtype="int64")
-        m = np.stack(vec.apply(lambda v: np.asarray(v, np.float64)))
+        m = _stack_vectors(vec)
         planes = planes_cache.get(m.shape[1])
         if planes is None:
             planes = planes_cache[m.shape[1]] = _hyperplanes(m.shape[1], n_bits, seed)
@@ -165,8 +192,11 @@ def _score_topk(
     @F.pandas_udf("double")
     def sim_udf(query_id: pd.Series, vec: pd.Series) -> pd.Series:
         qv = bc.value
-        cmat = _normalize(np.stack(vec.apply(lambda v: np.asarray(v, np.float64))))
-        qmat = np.stack([qv[int(q)] for q in query_id])
+        cmat = _normalize(_stack_vectors(vec))
+        # vectorized query lookup: sorted-key searchsorted, no per-row dict
+        keys = np.fromiter(sorted(qv), dtype=np.int64, count=len(qv))
+        qarr = np.vstack([qv[int(k)] for k in keys])  # n_queries rows only
+        qmat = qarr[np.searchsorted(keys, query_id.to_numpy(np.int64))]
         s = np.einsum("ij,ij->i", cmat, qmat)
         if sim_decimals is not None:
             s = np.round(s, sim_decimals)
@@ -260,7 +290,7 @@ def build_ivf_index(
 
     @F.pandas_udf("int")
     def cluster_udf(vec: pd.Series) -> pd.Series:
-        m = _normalize(np.stack(vec.apply(lambda v: np.asarray(v, np.float64))))
+        m = _normalize(_stack_vectors(vec))
         return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype(np.int32))
 
     (

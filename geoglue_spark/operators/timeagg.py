@@ -151,13 +151,17 @@ def rolling_weekly(
     value_col: str = "value",
     keys: list[str] = (),
 ) -> DataFrame:
-    """Rolling aggregate over the trailing ``window`` weeks per key (W3)."""
+    """Rolling aggregate over the trailing ``window`` weeks per key (W3):
+    conventional rolling(window) semantics — the frame holds up to ``window``
+    weekly points INCLUDING the current week (pandas/xarray
+    ``.rolling(window)``, the reference's warm-up contract in
+    cds.py:959-962), i.e. a RANGE lookback of (window-1) weeks."""
     from pyspark.sql import Window as W
 
     w = (
         W.partitionBy(*keys)
         .orderBy(F.col("week_start").cast("timestamp").cast("long"))
-        .rangeBetween(-(window * 7 * 24 * 3600), 0)
+        .rangeBetween(-((window - 1) * 7 * 24 * 3600), 0)
     )
     return weekly.withColumn(f"rolling_{how}", _AGG[how](F.col(value_col)).over(w))
 

@@ -1198,8 +1198,10 @@ GROUP BY tix, tiy, tlon, tlat
 
 
 def q_rolling_weekly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3 rolling warm-up window: trailing 4-week mean of weekly event
-    counts per event type (the reference's rolling weekly reduce)."""
+    """W3 rolling warm-up window: rolling(4)-week mean of weekly event
+    counts per event type (the reference's rolling weekly reduce) —
+    4 weekly points including the current week, pandas ``rolling(4)``
+    convention (ADVICE r3: the old bound included 5 points)."""
     from .operators.timeagg import rolling_weekly, week_start_col
 
     ev = _table(spark, sf_dir, "events")
@@ -1229,7 +1231,7 @@ SELECT event_type,
        round(avg(n) OVER (
          PARTITION BY event_type
          ORDER BY epoch(CAST(week_start AS TIMESTAMP))
-         RANGE BETWEEN 2419200 PRECEDING AND CURRENT ROW), 6) AS rolling_mean_n
+         RANGE BETWEEN 1814400 PRECEDING AND CURRENT ROW), 6) AS rolling_mean_n
 FROM weekly
 """
 
@@ -1556,9 +1558,23 @@ def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dupes(emb.unionByName(dupes), min_cosine=0.9)
 
 
+# Brute-force ALL-PAIRS value oracle (r4 upgrade): now that the engine's
+# exact-cosine stage is a JVM double fold, DuckDB recomputes every pairwise
+# cosine over the same (originals + injected dupes) universe and keeps
+# pairs >= 0.9 — verifying the detector against ground truth instead of
+# restating the injection construction.
 SQL_EMBEDDING_NEAR_DUPES = """
-SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
-FROM embeddings WHERE vec_id < 20
+WITH all_v AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.9
 """
 
 

@@ -102,13 +102,24 @@ def run_incremental(
     incomplete closed month refuses to commit. Open partitions are exempt
     (the trailing partial month is expected incomplete, cds.py:591-610).
     """
+    from pyspark.sql import Observation
+
     open_partitions = open_partitions or set()
     done = manifest.committed(spark) - open_partitions
     todo = [p for p in partitions if p not in done]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     for p in todo:
         t0 = time.time()
-        df = process(p).withColumn(partition_col, F.lit(p))
+        # row count rides the WRITE job as an observed metric (r3 verdict
+        # defect #1: re-scanning the just-written partition to count rows
+        # is a full second read of every commit at scale) — one source scan
+        # + one write per partition, zero post-write read jobs
+        obs = Observation(f"rows-{p}")
+        df = (
+            process(p)
+            .withColumn(partition_col, F.lit(p))
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
+        )
         if require_complete_months is not None and p not in open_partitions:
             # persist so the gate's aggregation and the write run the
             # source pipeline ONCE, not twice
@@ -124,8 +135,7 @@ def run_incremental(
                 )
         df.write.mode("overwrite").partitionBy(partition_col).parquet(out_path)
         df.unpersist()
-        rows = spark.read.parquet(out_path).filter(F.col(partition_col) == p).count()
-        manifest.record(spark, p, rows, time.time() - t0, lineage)
+        manifest.record(spark, p, obs.get["rows"], time.time() - t0, lineage)
     return todo
 
 

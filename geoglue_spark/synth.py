@@ -150,6 +150,14 @@ def _image_content_ids(ids: np.ndarray) -> np.ndarray:
     return np.where(ids % DUP_EVERY == 0, np.maximum(ids - 1, 0), ids)
 
 
+# Fixture content-version tag, shared by images_parquet AND
+# image_truth_parquet so the two cached files invalidate TOGETHER (ADVICE
+# r3: a count-only cache key let a spec change desynchronize the truth
+# table from the images fixture). Bump whenever _image_spec / synth_pixels
+# / the caption format / IMAGES_SCHEMA change.
+IMG_FIXTURE_V = "v2"
+
+
 def _image_spec(ci: int) -> tuple[int, int, str, bool]:
     """(w, h, fmt, color) for a content id — the SINGLE definition shared
     by the distributed generator, the driver-local fixture, and the
@@ -256,7 +264,7 @@ def image_truth_parquet(n: int, root: str = "/root/repo/.cache") -> str:
 
     from .images import _to_gray
 
-    path = os.path.join(root, f"image_truth_{n}.parquet")
+    path = os.path.join(root, f"image_truth_{n}_{IMG_FIXTURE_V}.parquet")
     if not os.path.exists(path):
         os.makedirs(root, exist_ok=True)
         ids = np.arange(n, dtype=np.int64)
@@ -281,7 +289,7 @@ def images_parquet(n: int, root: str = "/root/repo/.cache") -> str:
     Both the Spark queries and the DuckDB oracle scan this same file."""
     import os
 
-    path = os.path.join(root, f"images_{n}.parquet")
+    path = os.path.join(root, f"images_{n}_{IMG_FIXTURE_V}.parquet")
     if not os.path.exists(path):
         os.makedirs(root, exist_ok=True)
         tmp = f"{path}.tmp-{os.getpid()}"

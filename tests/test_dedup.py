@@ -281,6 +281,37 @@ def test_signature_caches_released_across_calls(spark, docs):
         D.minhash_near_dupes(docs, "text", "doc_id", min_jaccard=0.3).count()
     for _ in range(2):
         D.simhash_near_dupes(docs, "text", "doc_id", max_hamming=4).count()
-    assert n_cached() <= base + 2  # one live cache per operator, not five
+    # one live cache per operator family (minhash sig, simhash sig, band
+    # rows), not one per CALL
+    assert n_cached() <= base + 3
     D.release_signature_caches(spark)
     assert n_cached() <= base
+
+
+def test_scoped_cache_interleaved_inputs(spark, docs):
+    """r3 verdict defect #2: two DIFFERENT-input dedup plans interleaved on
+    one session must both complete correctly AND both keep their signature
+    caches (capacity-2 LRU — neither evicts the other mid-plan)."""
+    other = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),
+         (11, "alpha beta gamma delta epsilon zeta eta theta"),
+         (12, "totally disjoint content nine ten eleven twelve")],
+        "doc_id long, text string",
+    )
+    D.release_signature_caches(spark)
+    # build BOTH plans before executing either — the r3 single-slot cache
+    # would have unpersisted docs' signatures when `other`'s plan was built
+    p1 = D.minhash_near_dupes(docs, "text", "doc_id", min_jaccard=0.3)
+    p2 = D.minhash_near_dupes(other, "text", "doc_id", min_jaccard=0.3)
+    got1 = {(r.id_a, r.id_b) for r in p1.collect()}
+    got2 = {(r.id_a, r.id_b) for r in p2.collect()}
+    assert (1, 2) in got1 and (10, 11) in got2 and not any(12 in p for p in got2)
+    key = (spark.sparkContext.applicationId, "minhash")
+    assert len(D._SIG_CACHE.get(key, [])) == 2  # both inputs stayed cached
+    # same-input reuse across the interleave: a THIRD call on docs returns
+    # the already-cached frame (is-identity, no recompute)
+    import geoglue_spark.operators.dedup as dd
+    sig_before = dd._SIG_CACHE[key][:]
+    D.minhash_near_dupes(docs, "text", "doc_id", min_jaccard=0.3)
+    assert any(s is c for s in sig_before for c in dd._SIG_CACHE[key])
+    D.release_signature_caches(spark)

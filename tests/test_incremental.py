@@ -124,6 +124,31 @@ def test_incomplete_closed_month_refuses_commit(spark, tmp_path):
     assert "2019-02" in done
 
 
+def test_incremental_no_post_write_read(spark, tmp_path):
+    """r3 verdict defect #1: the committed row count must ride the write
+    job as an observed metric, NOT a re-scan of the just-written partition
+    (a full second read of every commit at 100 TB). One partition ->
+    exactly two jobs: the partition write and the manifest append."""
+    out = str(tmp_path / "out")
+    manifest = CheckpointManifest(str(tmp_path / "manifest"))
+
+    def process(p: str):
+        return spark.range(7).select(F.col("id"), F.lit(p).alias("tag"))
+
+    sc = spark.sparkContext
+    group = "no-post-write-read-probe"
+    sc.setJobGroup(group, "run_incremental single partition")
+    try:
+        run_incremental(spark, ["2021-05"], process, out, manifest)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) == 2, f"expected write + manifest-append only, got {len(jobs)} jobs"
+    # and the observed metric recorded the true row count
+    m = manifest.metrics(spark).toPandas()
+    assert list(m.rows) == [7]
+
+
 def test_write_replace_partitions_parquet_fallback(spark, tmp_path):
     """No Iceberg catalog configured here -> parquet dynamic-overwrite path
     with replace-partition semantics (re-writing a partition replaces its
