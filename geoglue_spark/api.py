@@ -19,6 +19,7 @@ provides the Spark-first equivalents with the same semantics:
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -100,9 +101,82 @@ def parse_operations(ops: str) -> tuple[list[str], bool]:
     return names, bool(explicit.pop()) if explicit else False
 
 
+def raster_from_files(
+    spark: SparkSession,
+    paths,
+    var: str | None = None,
+    value_col: str = "value",
+    **reader_kwargs,
+) -> DataFrame:
+    """MANY raster files -> one long-form pixel table, parsed ON THE
+    EXECUTORS (r3 verdict #1: the reference's unit of work is a
+    DatasetPool of monthly/yearly files, cds.py:680-757 — a production run
+    is thousands of them). ``paths`` may be a glob, a directory, or a
+    list; dispatch is by extension, with ``.nc`` split by its 4-byte magic
+    into HDF5-container vs classic netCDF-3 groups (unioned — mixed
+    archives happen when CDS deliveries change container format). Every
+    row carries a ``src`` lineage column;
+    :func:`geoglue_spark.sources.pool.pool_partition_col` maps it to the
+    reference's year / year-month partition names JVM-side.
+
+    The driver only touches the file LIST (plus one 4-byte read per .nc);
+    all byte decoding is mapInPandas on the executors."""
+    from .sources.pool import expand_paths
+
+    paths = expand_paths(paths)
+    exts = set()
+    for p in paths:
+        e = os.path.splitext(p)[1].lower()
+        exts.add({".tiff": ".tif", ".grb": ".grib", ".grib1": ".grib"}.get(e, e))
+    if len(exts) != 1:
+        raise ValueError(
+            f"mixed raster extensions {sorted(exts)} in one source; "
+            "read each format separately and merge"
+        )
+    ext = exts.pop()
+    if ext == ".parquet":
+        return spark.read.parquet(*paths)
+    if ext == ".nc":
+        if var is None:
+            raise ValueError("netCDF raster needs var= (e.g. 't2m')")
+        hdf5, classic = [], []
+        for p in paths:
+            with open(p, "rb") as fh:
+                (hdf5 if fh.read(4) == b"\x89HDF" else classic).append(p)
+        frames = []
+        if hdf5:
+            from .sources.hdf5 import read_netcdf4_distributed
+
+            frames.append(read_netcdf4_distributed(spark, hdf5, var, **reader_kwargs))
+        if classic:
+            from .sources.netcdf3 import read_netcdf3_distributed
+
+            frames.append(read_netcdf3_distributed(spark, classic, var, **reader_kwargs))
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
+        return df if value_col == "value" else df.withColumnRenamed("value", value_col)
+    if ext == ".tif":
+        from .sources.geotiff import read_geotiff_distributed
+
+        return read_geotiff_distributed(spark, paths, value_col=value_col)
+    if ext == ".grib":
+        from .sources.grib1 import PARAM_NAMES, read_grib1_distributed
+
+        params = None
+        if var is not None:
+            ids = {pid for pid, nm in PARAM_NAMES.items() if nm == var}
+            params = ids or None
+        df = read_grib1_distributed(spark, paths, params)
+        if var is not None:
+            df = df.filter(df["var"] == var).drop("var")
+        return df if value_col == "value" else df.withColumnRenamed("value", value_col)
+    raise ValueError(f"unsupported raster source extension {ext!r}")
+
+
 def raster_from_file(
     spark: SparkSession,
-    path: str,
+    path,
     var: str | None = None,
     value_col: str = "value",
 ) -> DataFrame:
@@ -110,7 +184,18 @@ def raster_from_file(
     read_raster: .nc -> xarray, .tif -> rioxarray): parquet scans stay the
     native store; classic netCDF-3 and GeoTIFF load through the engine's
     pure-NumPy codecs into the long-form pixel table. ``var`` selects the
-    netCDF variable (required for .nc)."""
+    netCDF variable (required for .nc).
+
+    ``path`` may also be a glob pattern, a directory, or a list of paths
+    (r4): anything expanding to more than one file routes through
+    :func:`raster_from_files` — executor-side parsing with a ``src``
+    lineage column, the DatasetPool archive shape."""
+    from .sources.pool import expand_paths
+
+    expanded = expand_paths(path)
+    if len(expanded) != 1:
+        return raster_from_files(spark, expanded, var=var, value_col=value_col)
+    path = expanded[0]
     low = path.lower()
     if low.endswith(".parquet"):
         return spark.read.parquet(path)

@@ -90,6 +90,32 @@ def _data_bbox(df) -> Bbox:
     return Bbox(g.x0, g.y0, g.x0 + g.nx * g.dx, g.y0 + g.ny * g.dy)
 
 
+def _is_multi_source(path: str) -> bool:
+    """True when a raster argument expands to more than one file (glob,
+    directory, or DatasetPool archive) — those route through the
+    executor-side multi-file readers and need an explicit output path."""
+    import glob as _g
+
+    from .sources.pool import expand_paths
+
+    if not (_g.has_magic(path) or os.path.isdir(path)):
+        return False
+    try:
+        return len(expand_paths(path)) > 1
+    except FileNotFoundError:
+        return False
+
+
+def _source_exists(path: str) -> bool:
+    """os.path.exists generalized to glob / directory / list sources."""
+    from .sources.pool import expand_paths
+
+    try:
+        return all(os.path.exists(p) for p in expand_paths(path))
+    except FileNotFoundError:
+        return False
+
+
 def _safe_name(b: Bbox) -> str:
     return "_".join(
         str(int(v)) if float(v).is_integer() else str(v).replace(".", "p")
@@ -122,6 +148,9 @@ def cmd_crop(args: argparse.Namespace) -> int:
         bbox = bbox.enlarge(by=1)
     if not src_bbox.contains(bbox):
         print(f"ERROR: Source bbox {src_bbox} not larger than target bbox {bbox}")
+        return 1
+    if _is_multi_source(args.raster) and not args.output:
+        print("ERROR: multi-file RASTER (glob/directory) needs -o/--output")
         return 1
     out_base = args.output or (
         os.path.splitext(args.raster)[0] + f".{_safe_name(bbox)}.parquet"
@@ -230,6 +259,10 @@ def cmd_zonalstats(args: argparse.Namespace) -> int:
         op = args.operation or "mean(coverage_weight=area_spherical_km2)"
     op = gcfg.resolve_operation(op)
     print(f"config\t\toperation {op}")
+    multi = _is_multi_source(args.raster)
+    if multi and not args.output:
+        print("ERROR: multi-file RASTER (glob/directory) needs -o/--output")
+        return 1
     output = args.output or os.path.splitext(args.raster)[0] + ".zs.parquet"
     cfg = ZonalJobConfig(
         raster=args.raster,
@@ -242,7 +275,7 @@ def cmd_zonalstats(args: argparse.Namespace) -> int:
         var=args.var,
     )
     for p in (cfg.raster, cfg.admins, cfg.weights):
-        if p and not os.path.exists(p):
+        if p and not _source_exists(p):
             print(f"ERROR: missing input {p}")
             return 1
     t0 = time.time()

@@ -1329,6 +1329,51 @@ FROM src GROUP BY 1
 """
 
 
+def q_multi_file_archive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-file DatasetPool scan (r4; reference cds.py:680-757): a
+    three-month netCDF archive read through api.raster_from_file's GLOB
+    dispatch — one executor-parsed mapInPandas scan over the path list —
+    partition-stamped from the filename convention JVM-side, then
+    per-partition aggregates. The fixture values are a closed dyadic form,
+    so the oracle recomputes the whole multi-file scan exactly."""
+    from .api import raster_from_file
+    from .sources.pool import pool_partition_col
+    from .synth import era5_archive_fixture
+
+    px = raster_from_file(spark, era5_archive_fixture(), var="t2m")
+    return (
+        px.withColumn("part", pool_partition_col())
+        .groupBy("part")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("time").alias("n_hours"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+
+
+SQL_MULTI_FILE_ARCHIVE_STATS = """
+WITH months(part, h0, nh) AS (
+  VALUES ('2019-01', 0, 72), ('2019-02', 744, 72), ('2019-03', 1416, 36)
+),
+hs AS (SELECT unnest(generate_series(0, 71)) AS h),
+ixs AS (SELECT unnest(generate_series(0, 19)) AS ix),
+iys AS (SELECT unnest(generate_series(0, 9)) AS iy),
+src AS (
+  SELECT part, h0 + h AS g,
+         200.0 + ix * 0.5 + iy * 0.25 + (h0 + h) * 0.125 AS value
+  FROM months, hs, ixs, iys WHERE h < nh
+)
+SELECT part, count(*) AS n, count(DISTINCT g) AS n_hours,
+       round(sum(value), 6) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM src GROUP BY part
+"""
+
+
 def q_validate_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 value-range gate expressions as a summary: out-of-range counts
     per event type (the aggregation check_value_range raises on)."""
@@ -1882,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_weekly_events": q_rolling_weekly_events,
         "month_completeness": q_month_completeness,
         "raster_na_summary": q_raster_na_summary,
+        "multi_file_archive_stats": q_multi_file_archive_stats,
         "validate_value_range": q_validate_value_range,
         "concat_lineage": q_concat_lineage,
         "lang_id_counts": q_lang_id_counts,
@@ -1926,6 +1972,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_weekly_events": SQL_ROLLING_WEEKLY_EVENTS,
         "month_completeness": SQL_MONTH_COMPLETENESS,
         "raster_na_summary": SQL_RASTER_NA_SUMMARY,
+        "multi_file_archive_stats": SQL_MULTI_FILE_ARCHIVE_STATS,
         "validate_value_range": SQL_VALIDATE_VALUE_RANGE,
         "concat_lineage": SQL_CONCAT_LINEAGE,
         "ann_cosine_topk_lsh": SQL_ANN_COSINE_TOPK_LSH,

@@ -351,6 +351,7 @@ def read_netcdf3_distributed(spark, paths: list[str], var: str, **names):
 
     lon_name = names.get("lon_name", "longitude")
     lat_name = names.get("lat_name", "latitude")
+    time_name = names.get("time_name", "time")
 
     def parse(batches):
         import pandas as pd
@@ -370,11 +371,31 @@ def read_netcdf3_distributed(spark, paths: list[str], var: str, **names):
                 lat = np.asarray(nc.data[lat_name], np.float64)
                 glon, glat = np.meshgrid(lon, lat)
                 flat = arr.reshape(-1, glon.size)
+                # CF time decode, same rules as netcdf3_to_pixels: a time
+                # coordinate with '<unit> since <epoch>' units becomes real
+                # timestamps; time-less 2-D rasters carry NULL time — the
+                # SAME schema as read_netcdf4_distributed so mixed-container
+                # archives union cleanly (r4 multi-file dispatch)
+                stamps = None
+                if arr.ndim >= 3 and time_name in nc.data:
+                    units = (
+                        nc.variables[time_name].attrs.get("units")
+                        if time_name in nc.variables
+                        else None
+                    )
+                    if units and " since " in str(units):
+                        from .hdf5 import decode_time
+
+                        stamps = decode_time(
+                            np.asarray(nc.data[time_name]), str(units)
+                        )
                 for i in range(flat.shape[0]):
                     yield pd.DataFrame(
                         {
                             "src": p,
-                            "time_idx": np.int64(i),
+                            "time": pd.Timestamp(stamps[i])
+                            if stamps is not None
+                            else pd.NaT,
                             "lon": glon.ravel(),
                             "lat": glat.ravel(),
                             "value": flat[i],
@@ -385,5 +406,5 @@ def read_netcdf3_distributed(spark, paths: list[str], var: str, **names):
         max(1, min(len(paths), spark.sparkContext.defaultParallelism))
     )
     return plist.mapInPandas(
-        parse, "src string, time_idx long, lon double, lat double, value double"
+        parse, "src string, time timestamp, lon double, lat double, value double"
     )

@@ -298,6 +298,57 @@ def images_parquet(n: int, root: str = "/root/repo/.cache") -> str:
     return path
 
 
+def era5_archive_fixture(root: str = "/root/repo/.cache") -> str:
+    """A three-month classic-netCDF archive named per the reference's
+    DatasetPool convention (cds.py:698-704): two closed months plus a
+    trailing ``_part`` month. Values are the closed DYADIC form
+    ``200 + ix*0.5 + iy*0.25 + g*0.125`` (g = hours since 2019-01-01) —
+    every term exactly representable in float64, so the DuckDB oracle
+    recomputes the multi-file scan bit-for-bit. Returns the glob pattern.
+    20x10 grid at 0.25 deg from (100E, 10N); 72 h per closed month, 36 h
+    for the partial one."""
+    import os
+
+    from .sources.netcdf3 import write_netcdf3
+
+    d = os.path.join(root, "era5_arch_v1")
+    months = [("2019-01", 0, 72), ("2019-02", 744, 72), ("2019-03", 1416, 36)]
+    pattern = os.path.join(d, "SYN-*-era5.instant.nc")
+    names = [
+        os.path.join(
+            d, f"SYN-{m}{'_part' if m == '2019-03' else ''}-era5.instant.nc"
+        )
+        for m, _, _ in months
+    ]
+    if all(os.path.exists(p) for p in names):
+        return pattern
+    os.makedirs(d, exist_ok=True)
+    nx, ny = 20, 10
+    lon = 100.0 + np.arange(nx) * 0.25
+    lat = 10.0 + np.arange(ny) * 0.25
+    ix = np.arange(nx)[None, None, :]
+    iy = np.arange(ny)[None, :, None]
+    for path, (_m, h0, nh) in zip(names, months):
+        g = (h0 + np.arange(nh))[:, None, None].astype(np.float64)
+        arr = 200.0 + ix * 0.5 + iy * 0.25 + g * 0.125
+        write_netcdf3(
+            path,
+            dims=[("time", nh), ("latitude", ny), ("longitude", nx)],
+            variables={
+                "time": (
+                    ["time"],
+                    (h0 + np.arange(nh)).astype(np.float64),
+                    {"units": "hours since 2019-01-01"},
+                ),
+                "latitude": (["latitude"], lat),
+                "longitude": (["longitude"], lon),
+                "t2m": (["time", "latitude", "longitude"], arr),
+            },
+            attrs={"title": "synthetic DatasetPool archive"},
+        )
+    return pattern
+
+
 # ---- hourly raster (ERA5 analog), long form -------------------------------
 def grid_pixels_table(
     spark: SparkSession,
