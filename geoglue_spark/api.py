@@ -127,7 +127,10 @@ def raster_from_files(
     exts = set()
     for p in paths:
         e = os.path.splitext(p)[1].lower()
-        exts.add({".tiff": ".tif", ".grb": ".grib", ".grib1": ".grib"}.get(e, e))
+        exts.add(
+            {".tiff": ".tif", ".grb": ".grib", ".grib1": ".grib",
+             ".grib2": ".grib"}.get(e, e)
+        )
     if len(exts) != 1:
         raise ValueError(
             f"mixed raster extensions {sorted(exts)} in one source; "
@@ -161,17 +164,41 @@ def raster_from_files(
 
         return read_geotiff_distributed(spark, paths, value_col=value_col)
     if ext == ".grib":
-        from .sources.grib1 import PARAM_NAMES, read_grib1_distributed
+        # editions can mix within one archive (CDS switched delivery
+        # format mid-stream) — sniff octet 8 per file, union the groups
+        ed1 = [p for p in paths if _grib_edition(p) == 1]
+        ed2 = [p for p in paths if p not in set(ed1)]
+        frames = []
+        if ed1:
+            from .sources.grib1 import PARAM_NAMES, read_grib1_distributed
 
-        params = None
-        if var is not None:
-            ids = {pid for pid, nm in PARAM_NAMES.items() if nm == var}
-            params = ids or None
-        df = read_grib1_distributed(spark, paths, params)
+            params = None
+            if var is not None:
+                ids = {pid for pid, nm in PARAM_NAMES.items() if nm == var}
+                params = ids or None
+            frames.append(read_grib1_distributed(spark, ed1, params))
+        if ed2:
+            from .sources.grib2 import read_grib2_distributed
+
+            frames.append(
+                read_grib2_distributed(spark, ed2, {var} if var is not None else None)
+            )
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
         if var is not None:
             df = df.filter(df["var"] == var).drop("var")
         return df if value_col == "value" else df.withColumnRenamed("value", value_col)
     raise ValueError(f"unsupported raster source extension {ext!r}")
+
+
+def _grib_edition(path: str) -> int:
+    """GRIB edition from the indicator section's octet 8."""
+    with open(path, "rb") as fh:
+        head = fh.read(8)
+    if head[:4] != b"GRIB" or len(head) < 8:
+        raise ValueError(f"{path!r} is not a GRIB file")
+    return head[7]
 
 
 def raster_from_file(
@@ -215,7 +242,14 @@ def raster_from_file(
         from .sources.geotiff import geotiff_to_pixels
 
         return geotiff_to_pixels(spark, path, value_col=value_col)
-    if low.endswith((".grib", ".grb", ".grib1")):
+    if low.endswith((".grib", ".grb", ".grib1", ".grib2")):
+        if _grib_edition(path) == 2:
+            from .sources.grib2 import grib2_to_pixels
+
+            df = grib2_to_pixels(spark, path, {var} if var is not None else None)
+            if var is not None:
+                df = df.drop("var")
+            return df if value_col == "value" else df.withColumnRenamed("value", value_col)
         from .sources.grib1 import PARAM_NAMES, grib1_to_pixels
 
         params = None
