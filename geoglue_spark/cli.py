@@ -343,6 +343,181 @@ def cmd_griddes(args: argparse.Namespace) -> int:
 
 
 # --------------------------------------------------------------------------
+# plot
+# --------------------------------------------------------------------------
+def _gray_scale(vals):
+    """float array -> uint8 grayscale, NaN -> 0 (black), data 32..255."""
+    import numpy as np
+
+    out = np.zeros(vals.shape, np.uint8)
+    m = np.isfinite(vals)
+    if m.any():
+        lo, hi = float(vals[m].min()), float(vals[m].max())
+        span = (hi - lo) or 1.0
+        out[m] = (32 + (vals[m] - lo) / span * 223).astype(np.uint8)
+    return out
+
+
+def _draw_rings(img, rings, x0, dx, y0, dy, level=255):
+    """Burn polygon ring OUTLINES into the grayscale image (row 0 = north):
+    each segment sampled at sub-pixel steps — pure NumPy, no plot libs."""
+    import numpy as np
+
+    h, w = img.shape
+    for poly in rings:
+        for ring in poly:
+            a = np.asarray(ring, np.float64)
+            for i in range(len(a) - 1):
+                n = max(
+                    2,
+                    int(
+                        max(
+                            abs(a[i + 1][0] - a[i][0]) / abs(dx),
+                            abs(a[i + 1][1] - a[i][1]) / abs(dy),
+                        )
+                        * 4
+                    )
+                    + 2,
+                )
+                xs = np.linspace(a[i][0], a[i + 1][0], n)
+                ys = np.linspace(a[i][1], a[i + 1][1], n)
+                # x0/y0 are cell edges: floor buckets a coordinate into its cell
+                ix = np.floor((xs - x0) / dx).astype(int)
+                iy = np.floor((ys - y0) / dy).astype(int)
+                keep = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+                img[h - 1 - iy[keep], ix[keep]] = level
+    return img
+
+
+def cmd_plot(args: argparse.Namespace) -> int:
+    """Render FILE to a grayscale PNG with the engine's OWN encoder
+    (reference cli.py:48-78 + plot.py, matplotlib/geopandas replaced by
+    the PNG codec in images.py):
+
+    * a zonalstats output (``admin_id`` + ``geoglue_config`` columns) ->
+      CHOROPLETH: the geometry comes from the config lineage stamped in
+      the file (plot.py:46-62) or ``-g``, polygons filled by ray-cast
+      point-in-polygon on a render grid;
+    * any raster source -> gridded slice, ``-v`` selecting the variable
+      (required when several, like the reference) and ``-i`` the index
+      along the non-spatial dim; ``-g`` overlays boundary outlines.
+
+    Output is always ``-o`` (no terminal display in this engine). The
+    collect is render-sized: one raster slice / one row per admin."""
+    import numpy as np
+
+    from .images import encode_png
+
+    spark = _spark()
+    df = (
+        spark.read.parquet(args.file)
+        if args.file.endswith(".parquet")
+        else None
+    )
+    if df is not None and "admin_id" in df.columns and "geoglue_config" in df.columns:
+        from .config import read_job_configs
+        from .geometry import wkb_to_rings
+        from .pip import points_in_geom
+
+        rows = df.collect()  # admin-dimension scale
+        stat_cols = [
+            c for c, t in df.dtypes
+            if t in ("double", "float") and c not in ("admin_id",)
+        ]
+        stat = args.var or (stat_cols[0] if len(stat_cols) == 1 else None)
+        if stat is None:
+            print(f"ERROR: use -v to select a column from {stat_cols}")
+            return 1
+        geom_src = args.geometry
+        if geom_src in (None, "."):
+            cfgs = read_job_configs(rows[0]["geoglue_config"])
+            geom_src, pk = cfgs[0].admins, cfgs[0].admins_pk
+        else:
+            geom_src, _, pk = geom_src.partition("::")
+        from .api import region_from_file
+
+        admins = region_from_file(spark, geom_src, pk or "admin_id")
+        if pk and pk in admins.columns and "admin_id" not in admins.columns:
+            admins = admins.withColumnRenamed(pk, "admin_id")
+        geoms = {r.admin_id: wkb_to_rings(bytes(r.geometry)) for r in admins.collect()}
+        vals = {r["admin_id"]: r[stat] for r in rows}
+        minx = min(p[:, 0].min() for g in geoms.values() for poly in g for p in poly)
+        maxx = max(p[:, 0].max() for g in geoms.values() for poly in g for p in poly)
+        miny = min(p[:, 1].min() for g in geoms.values() for poly in g for p in poly)
+        maxy = max(p[:, 1].max() for g in geoms.values() for poly in g for p in poly)
+        w = args.width
+        h = max(1, int(round(w * (maxy - miny) / max(maxx - minx, 1e-9))))
+        dx, dy = (maxx - minx) / w, (maxy - miny) / h
+        gx, gy = np.meshgrid(
+            minx + (np.arange(w) + 0.5) * dx, miny + (np.arange(h) + 0.5) * dy
+        )
+        val_img = np.full((h, w), np.nan)
+        for aid, rings in geoms.items():
+            if aid not in vals or vals[aid] is None:
+                continue
+            inside = points_in_geom(gx.ravel(), gy.ravel(), rings).reshape(h, w)
+            val_img[inside] = float(vals[aid])
+        img = _gray_scale(val_img)[::-1]  # row 0 = north
+        png = encode_png(img)
+        kind = "choropleth"
+    else:
+        from .api import raster_from_file
+
+        pixels = raster_from_file(spark, args.file, var=args.var)
+        if "var" in pixels.columns:
+            vs = [r["var"] for r in pixels.select("var").distinct().collect()]
+            if len(vs) > 1 and args.var is None:
+                print(f"ERROR: Use -v (--var) to select a variable from {sorted(vs)}")
+                return 1
+            pixels = pixels.filter(F.col("var") == (args.var or vs[0])).drop("var")
+        non_spatial = [
+            c for c in pixels.columns
+            if c not in ("lon", "lat", "value", "src", "vartype")
+        ]
+        if non_spatial:
+            dim = non_spatial[0]
+            ticks = [
+                r[dim]
+                for r in pixels.select(dim).distinct().orderBy(dim).collect()
+            ]
+            idx = int(args.isel.split(",")[0])
+            if not 0 <= idx < len(ticks):
+                print(f"ERROR: -i {idx} out of range (0..{len(ticks) - 1} {dim})")
+                return 1
+            print(f"Selecting {{{dim!s}: {idx}}}")
+            pixels = pixels.filter(F.col(dim) == ticks[idx]).drop(*non_spatial)
+        grid = infer_grid(pixels)
+        img_vals = np.full((grid.ny, grid.nx), np.nan)
+        for r in pixels.select("lon", "lat", "value").collect():  # one slice
+            # grid.x0/y0 are cell EDGES (infer_grid), lon/lat are centers
+            ix = int((r.lon - grid.x0) / grid.dx)
+            iy = int((r.lat - grid.y0) / grid.dy)
+            if 0 <= ix < grid.nx and 0 <= iy < grid.ny:
+                img_vals[grid.ny - 1 - iy, ix] = (
+                    r.value if r.value is not None else np.nan
+                )
+        img = _gray_scale(img_vals)
+        if args.geometry and args.geometry != ".":
+            from .geometry import wkb_to_rings
+
+            gpath, _, gpk = args.geometry.partition("::")
+            from .api import region_from_file
+
+            admins = region_from_file(spark, gpath, gpk or "admin_id")
+            for r in admins.select("geometry").collect():
+                _draw_rings(
+                    img, wkb_to_rings(bytes(r.geometry)),
+                    grid.x0, grid.dx, grid.y0, grid.dy,
+                )
+        png = encode_png(img)
+        kind = "raster"
+    with open(args.output, "wb") as fh:
+        fh.write(png)
+    print(f"plot {args.output} kind={kind} size={img.shape[1]}x{img.shape[0]}")
+    return 0
+
+
+# --------------------------------------------------------------------------
 # parser
 # --------------------------------------------------------------------------
 def build_parser() -> argparse.ArgumentParser:
@@ -386,6 +561,19 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("files", nargs="+")
     s.add_argument("--var", help="netCDF/GRIB variable when a file is .nc/.grib")
     s.set_defaults(fn=cmd_stats)
+
+    pl = sub.add_parser("plot", help="Plot datasets (grayscale PNG)")
+    pl.add_argument("file")
+    pl.add_argument("-i", "--isel", default="0",
+                    help="Non-spatial index to select")
+    pl.add_argument("-v", "--var", help="Variable / stat column to select")
+    pl.add_argument("-o", "--output", required=True,
+                    help="PNG filename to save plot")
+    pl.add_argument("-g", "--geometry", default=".",
+                    help="Geometry file (path or path::pk) to overlay")
+    pl.add_argument("--width", type=int, default=400,
+                    help="Choropleth render width in pixels")
+    pl.set_defaults(fn=cmd_plot)
 
     g = sub.add_parser("griddes", help="Show CDO grid description for a file")
     g.add_argument("file")

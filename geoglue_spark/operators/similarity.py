@@ -313,11 +313,15 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_decimals: int | None = 6,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe: per query, scan only the ``nprobe`` clusters whose
     centroids are most cosine-similar, then exact rerank. The cluster list
     becomes an IN partition filter — untouched clusters are never read.
     Recall rises with nprobe (nprobe = n_clusters degrades to exact scan).
+
+    ``index_df``: pass the opened store to amortize partition discovery
+    across query batches (same contract as cosine_topk_lsh_indexed).
     """
     qids = [int(q) for q, _ in queries]
     qmat = _normalize(np.array([v for _, v in queries], np.float64))
@@ -330,7 +334,7 @@ def cosine_topk_ivf(
         spark.createDataFrame(pairs, "query_id long, _cluster int")
     )
     all_clusters = sorted({c for _, c in pairs})
-    index = spark.read.parquet(index_path)
+    index = index_df if index_df is not None else spark.read.parquet(index_path)
     pruned = (
         index.filter(F.col("_cluster").isin(all_clusters))  # partition prune
         .join(probe_df, "_cluster")

@@ -30,6 +30,7 @@ ALLOW: dict[str, set[str]] = {}
 # filter — untouched buckets never listed/read.
 REQUIRE: dict[str, list[str]] = {
     "ann_cosine_topk_indexed": ["PartitionFilters: [_sig"],
+    "ann_cosine_topk_ivf": ["PartitionFilters: [_cluster"],
     "admin_assign_count": ["BroadcastHashJoin"],
 }
 

@@ -226,3 +226,62 @@ def test_zonalstats_cli_approx_quantile(spark, tmp_path, region_file, capsys):
     assert len(got) == 1
     assert got[0]["approx_median"] == 5.0
     assert got[0]["approx_quantile(0.9)"] == 5.0
+
+
+def test_plot_raster_gradient(spark, tmp_path, raster_path, region_file, capsys):
+    """`plot` renders a raster slice to PNG with the engine's own encoder
+    (reference cli.py:48-78): multi-variable needs -v (like the
+    reference); the decoded pixels reproduce the gradient min/max corners;
+    -g burns boundary outlines at white."""
+    import numpy as np
+
+    from geoglue_spark.images import decode_png
+
+    out = str(tmp_path / "p.png")
+    # two variables, no -v -> reference-style error
+    assert main(["plot", raster_path, "-o", out]) == 1
+    assert "Use -v (--var)" in capsys.readouterr().out
+    assert main(["plot", raster_path, "-v", "t2m", "-o", out]) == 0
+    img = decode_png(open(out, "rb").read())
+    img = img if img.ndim == 2 else img[:, :, 0]
+    assert img.shape == (16, 16)
+    # value = ix + iy: min at bottom-left (row 15), max at top-right
+    assert img[15, 0] == 32 and img[0, 15] == 255
+    # monotone along the antidiagonal direction
+    assert img[0, 0] == img[15, 15]
+    # boundary overlay: the region ring [101.2,11.2]x[102.8,12.8] hits
+    # cell (ix=4, iy=4) -> row 11, col 4 burned to 255
+    out2 = str(tmp_path / "p2.png")
+    assert main(["plot", raster_path, "-v", "t2m", "-o", out2,
+                 "-g", f"{region_file}::GID_2"]) == 0
+    img2 = decode_png(open(out2, "rb").read())
+    img2 = img2 if img2.ndim == 2 else img2[:, :, 0]
+    assert img2[11, 4] == 255 and img2[11, 10] == 255
+    assert (img2 == 255).sum() > (img == 255).sum()
+
+
+def test_plot_zonalstats_choropleth(spark, tmp_path, region_file, capsys):
+    """A zonalstats output plots as a choropleth: geometry resolved from
+    the geoglue_config lineage stamped in the file (reference
+    plot.py:46-62), polygons filled by ray-cast point-in-polygon."""
+    from geoglue_spark.images import decode_png
+
+    rows = [(100.125 + ix * 0.25, 10.125 + iy * 0.25, 7.5)
+            for iy in range(16) for ix in range(16)]
+    rp = str(tmp_path / "r.parquet")
+    spark.createDataFrame(rows, "lon double, lat double, value double").write.parquet(rp)
+    zs = str(tmp_path / "out.zs.parquet")
+    assert main(["zonalstats", rp, f"{region_file}::GID_2",
+                 "--operation", "mean", "-o", zs]) == 0
+    capsys.readouterr()
+    png = str(tmp_path / "choro.png")
+    rc = main(["plot", zs, "-o", png, "--width", "64"])
+    assert rc == 0
+    assert "kind=choropleth" in capsys.readouterr().out
+    img = decode_png(open(png, "rb").read())
+    img = img if img.ndim == 2 else img[:, :, 0]
+    # single square region spanning the render bbox: interior filled with
+    # the (single-valued -> lo==hi) gray 32, nothing at 0 inside
+    h, w = img.shape
+    assert img[h // 2, w // 2] == 32
+    assert (img > 0).mean() > 0.9  # region fills ~the whole frame
