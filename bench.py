@@ -105,6 +105,68 @@ def run_flagship(spark, n_rows: int, reps: int = 1) -> tuple[float, int]:
     return statistics.median(times), n_rows
 
 
+# Clean-window probe calibration for THIS VM: the n_rows/10 (=200k-row)
+# assignment+zonal probe medians 0.90-0.95 s on 16 threads in verified-calm
+# windows (BENCH/BASELINE.md). An ABSOLUTE anchor is required because the
+# steal storms documented there inflate the whole session uniformly —
+# a session-relative minimum cannot tell "calm" from "uniformly 1.5x
+# stolen". Override after re-calibrating (hardware change, thread count).
+PROBE_REF_SEC = float(os.environ.get("SPARK_GRAFT_PROBE_REF", "0.93"))
+
+
+def run_flagship_robust(
+    spark, n_rows: int, min_clean: int = 3, max_reps: int = 15
+) -> dict:
+    """Steal-robust flagship measurement (r3 verdict #2: the driver
+    artifact swung 22 % while a clean-window re-run measured the same
+    binary 60 % faster — hypervisor steal, BENCH/BASELINE.md).
+
+    Every flagship rep is BRACKETED by fixed-cost probes (the same
+    assignment+zonal job at n_rows/10). A rep is CLEAN iff both adjacent
+    probes land within 1.25x the absolute calibration PROBE_REF_SEC;
+    sampling extends (up to ``max_reps``) until ``min_clean`` clean reps
+    exist, and the recorded value is their median. If the storm outlasts
+    the budget, the artifact records the MINIMUM rep and marks itself
+    ``steal_contaminated`` — an honestly-flagged upper bound rather than
+    a silently inflated median (steal only ever inflates)."""
+    import statistics
+
+    from geoglue_spark.operators.assign import assign_admin
+    from geoglue_spark.operators.zonal import zonal_stats
+    from geoglue_spark.queries import QUERY_GRID, _engine
+
+    cover, wkb, _ = _engine(spark)
+
+    def one(n: int) -> float:
+        pts = flagship_points(spark, n)
+        t0 = time.time()
+        assigned = assign_admin(pts, cover, wkb, QUERY_GRID)
+        out = zonal_stats(assigned, "value", ["count", "mean", "sum", "min", "max"])
+        _materialize(out)
+        return time.time() - t0
+
+    threshold = 1.25 * PROBE_REF_SEC
+    probes = [one(n_rows // 10)]
+    flags, clean = [], []
+    while len(flags) < max_reps and len(clean) < min_clean:
+        flags.append(one(n_rows))
+        probes.append(one(n_rows // 10))
+        if max(probes[-2], probes[-1]) <= threshold:
+            clean.append(flags[-1])
+    contaminated = len(clean) < min_clean
+    sec = min(flags) if contaminated else statistics.median(clean)
+    return {
+        "sec": round(sec, 3),
+        "rows": n_rows,
+        "steal_contaminated": contaminated,
+        "reps_clean": len(clean),
+        "reps_total": len(flags),
+        "probe_ref_sec": PROBE_REF_SEC,
+        "probe_sec": [round(p, 2) for p in probes],
+        "flag_sec": [round(f, 2) for f in flags],
+    }
+
+
 def run_fine_raster(spark, reps: int = 3) -> dict:
     """Fine-grid raster zonal: 2000x2000 cells (0.005-degree over the same
     10x10-degree extent) through the TWO-LEVEL block-compacted cover — the
@@ -190,6 +252,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "month_completeness",
         "raster_na_summary",
         "validate_value_range",
+        "multi_file_archive_stats",
+        "ann_cosine_topk_ivf",
     ]
     qs = Q.queries()
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
@@ -225,9 +289,9 @@ def main_bench() -> None:
     _engine(spark)
     run_flagship(spark, BENCH_ROWS // 10, reps=2)
 
-    flag_sec, flag_rows = run_flagship(spark, BENCH_ROWS, reps=5)
+    flag = run_flagship_robust(spark, BENCH_ROWS)
     times = bench_queries(spark, sf_dir)
-    times["flagship_assign_zonal"] = round(flag_sec, 3)
+    times["flagship_assign_zonal"] = flag["sec"]
     fine = run_fine_raster(spark)
     times["raster_zonal_fine"] = fine["sec"]
     total = round(sum(times.values()), 3)
@@ -240,8 +304,13 @@ def main_bench() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
-                "assign_rows": flag_rows,
-                "assign_rows_per_sec": round(flag_rows / flag_sec, 1),
+                "assign_rows": flag["rows"],
+                "assign_rows_per_sec": round(flag["rows"] / flag["sec"], 1),
+                "flagship_probe": {
+                    k: flag[k]
+                    for k in ("steal_contaminated", "reps_clean", "reps_total",
+                              "probe_ref_sec", "probe_sec", "flag_sec")
+                },
                 "fine_raster": fine,
                 "cores": cores,
             }

@@ -124,3 +124,76 @@ def test_streaming_admin_assignment_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert sum(got.values()) == 4000
+
+
+def test_streaming_fractional_tiles_match_batch(spark, tmp_path):
+    """J8 parity (r3 verdict #10): assign_tiles_fractional runs UNCHANGED
+    under Structured Streaming — per-(tile, admin) fractions across
+    multiple micro-batch triggers identical to the batch plan over the
+    same rows, and per-admin fraction mass conserved."""
+    import numpy as np
+    import pandas as pd
+
+    from geoglue_spark.cover import build_cover
+    from geoglue_spark.grids import Grid
+    from geoglue_spark.operators.assign import assign_tiles_fractional
+    from geoglue_spark.synth import _point_lat, _point_lon, admins_df
+
+    grid = Grid(x0=100.0, dx=0.05, nx=200, y0=10.0, dy=0.05, ny=200)
+    cover = build_cover(admins_df(spark), grid, supersample=4).cache()
+
+    i = np.arange(3000)
+    pdf = pd.DataFrame({"tid": i, "lat": _point_lat(i), "lon": _point_lon(i)})
+    src = str(tmp_path / "tiles_in")
+    os.makedirs(src)
+    pdf.iloc[:1000].to_parquet(os.path.join(src, "a.parquet"), index=False)
+    pdf.iloc[1000:].to_parquet(os.path.join(src, "b.parquet"), index=False)
+
+    kw = dict(tile_w_deg=0.12, tile_h_deg=0.12, id_cols=["tid"])
+    batch = assign_tiles_fractional(
+        spark.createDataFrame(pdf), cover, grid, **kw
+    )
+    want = {
+        (r.tid, r.admin_id): round(r.frac, 9) for r in batch.collect()
+    }
+
+    schema = spark.read.parquet(os.path.join(src, "a.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # the per-(tile, admin) groupBy is a streaming aggregation: complete
+    # mode (no watermark needed; tiles are keyed, not time-windowed)
+    frac = assign_tiles_fractional(stream, cover, grid, **kw)
+    q = (
+        frac.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_frac_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_frac"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.tid, r.admin_id): round(r.frac, 9)
+        for r in spark.sql("SELECT * FROM stream_frac_out").collect()
+    }
+    assert got == want  # identical (tile, admin, frac) rows
+    # conservation in-stream: fraction mass never exceeds 1, and every
+    # tile fully INSIDE the admin-covered domain sums to exactly 1
+    # (domain-edge tiles hang off the union and legitimately sum < 1)
+    sums = {
+        r.tid: r.s
+        for r in spark.sql(
+            "SELECT tid, sum(frac) s FROM stream_frac_out GROUP BY tid"
+        ).collect()
+    }
+    assert len(sums) == 3000
+    assert all(s <= 1.0 + 1e-6 for s in sums.values())
+    interior = pdf[
+        (pdf.lon > 100.1) & (pdf.lon < 109.9)
+        & (pdf.lat > 10.1) & (pdf.lat < 19.9)
+    ].tid
+    assert len(interior) > 2000
+    assert all(abs(sums[t] - 1.0) < 1e-6 for t in interior)
