@@ -254,6 +254,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "validate_value_range",
         "multi_file_archive_stats",
         "ann_cosine_topk_ivf",
+        "dedup_clusters",
     ]
     qs = Q.queries()
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

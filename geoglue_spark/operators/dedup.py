@@ -619,6 +619,114 @@ def embedding_near_dupes(
 
 
 # --------------------------------------------------------------------------
+# cluster resolution: near-dup PAIRS -> connected components -> keep-first
+# (the production step after any pair generator: transitive duplicate
+# groups must dedup as ONE group, not per-pair)
+# --------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``pairs``; ``component``
+    is the MINIMUM node id reachable through the pair graph — a canonical,
+    partitioning-independent cluster key.
+
+    Algorithm: BSP min-label propagation with POINTER JUMPING. Each round
+    (a) every node takes the min label over itself and its neighbors
+    (one shuffle: union + groupBy), then (b) labels compress one level
+    (``comp := label[comp]``, one self-join) — path halving, so rounds
+    scale with log(diameter), not diameter (a 31-node chain converges in
+    ~6 rounds where plain propagation needs 30). Duplicate clusters are
+    near-cliques in practice and converge in 2-3 rounds.
+
+    Each round materializes via ``localCheckpoint`` (truncates the plan —
+    iterative lineage otherwise grows unboundedly). Convergence test:
+    labels only ever DECREASE, so a changed round changes ``sum(comp)``
+    (exactly, for numeric ids) — one cheap aggregate per round instead of
+    a join against the previous labeling. For STRING ids the sum is a
+    hash checksum, so an unchanged checksum is CONFIRMED by one exact
+    join-based changed-count before returning (a hash collision can then
+    only cost one extra confirmation join, never a wrong early stop).
+    Raises if ``max_iter`` rounds don't converge (correctness-critical: a
+    half-propagated labeling looks valid).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("s").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    ).localCheckpoint()
+    numeric = dict(labels.dtypes)["comp"] in ("bigint", "int", "smallint", "tinyint")
+    # decimal(38,0) sums: ANSI mode overflows int64 on summed 64-bit
+    # hashes (and on numeric ids at ~10^9+ rows)
+    check = (
+        F.sum(F.col("comp").cast("decimal(38,0)")) if numeric
+        else F.sum(F.crc32(F.col("comp").cast("string")).cast("decimal(38,0)"))
+        + F.sum(F.xxhash64(F.col("comp").cast("string")).cast("decimal(38,0)"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["s"] == labels["id"]).select(
+            F.col("d").alias("id"), F.col("comp")
+        )
+        new = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp := label[comp] (labels only ever decrease)
+        jumped = new.alias("n").join(
+            new.select(
+                F.col("id").alias("_cid"), F.col("comp").alias("_cc")
+            ).alias("c"),
+            F.col("n.comp") == F.col("_cid"),
+            "left",
+        ).select(
+            F.col("n.id").alias("id"),
+            F.least(F.col("n.comp"), F.coalesce(F.col("_cc"), F.col("n.comp"))).alias(
+                "comp"
+            ),
+        ).localCheckpoint()
+        cur_sum = jumped.agg(check.alias("s")).collect()[0].s
+        if cur_sum == prev_sum:
+            converged = numeric or (
+                jumped.alias("a")
+                .join(labels.select("id", F.col("comp").alias("_old")), "id")
+                .filter(F.col("comp") != F.col("_old"))
+                .count()
+                == 0
+            )
+            if converged:
+                edges.unpersist()
+                return jumped
+        labels = jumped
+        prev_sum = cur_sum
+    edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(pointer-jumped propagation needs ~log2(diameter) rounds; raise "
+        "max_iter for pathological chain graphs)"
+    )
+
+
+def near_dedup_keep_first(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop every near-duplicate except the smallest-id member of each
+    connected component — the transitive generalization of
+    :func:`exact_dedup_keep_first` (a pair list alone would keep B of
+    A~B, B~C if only A-B were applied). Rows not in any pair survive."""
+    labels = connected_components(pairs)
+    losers = labels.filter(F.col("comp") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
 # n-gram Jaccard verification (exact, for candidate pairs)
 # --------------------------------------------------------------------------
 def ngram_jaccard_pairs(

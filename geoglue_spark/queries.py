@@ -1789,6 +1789,45 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 0
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution (r4): exact-phash pairs over the images
+    fixture -> connected components (pointer-jumped min-label propagation)
+    -> per-cluster size + canonical keeper id. The production step after
+    any pair generator: transitive duplicate groups dedup as one group.
+    Oracle: DuckDB recursive CTE computing min-reachable-id fixpoints over
+    the same brute-force pair graph."""
+    from .operators.dedup import connected_components, phash_near_dupes
+
+    imgs = _images(spark)
+    pairs = phash_near_dupes(imgs, "phash", "image_id", max_hamming=0)
+    comp = connected_components(pairs)
+    return comp.groupBy(F.col("comp").alias("keeper_id")).agg(
+        F.count("*").alias("cluster_size")
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+imgs AS (SELECT image_id, phash FROM read_parquet('{{images_path}}')),
+pairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM imgs a JOIN imgs b ON a.image_id < b.image_id AND a.phash = b.phash
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT component AS keeper_id, count(*) AS cluster_size
+FROM comp GROUP BY component
+"""
+
+
 def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands, qs = _queries_from_embeddings(spark, sf_dir)
     return cosine_topk_lsh(cands, qs, k=5, n_bits=12, probe_hamming=4).select(
@@ -1960,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dupes": q_minhash_near_dupes,
         "simhash_near_dupes": q_simhash_near_dupes,
         "phash_dedup_pairs": q_phash_dedup_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_near_dupes": q_embedding_near_dupes,
         "lon_normalize_hist": q_lon_normalize_hist,
         "crop_bbox_count": q_crop_bbox_count,
@@ -2032,6 +2072,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dupes": SQL_SIMHASH_NEAR_DUPES,
         # brute-force all-pairs oracle over the SAME materialized fixture
         # file the Spark query scans (ensured to exist here)
+        "dedup_clusters": SQL_DEDUP_CLUSTERS.format(
+            images_path=images_parquet(N_IMAGES)
+        ),
         "phash_dedup_pairs": SQL_PHASH_DEDUP_PAIRS.format(
             images_path=images_parquet(N_IMAGES)
         ),

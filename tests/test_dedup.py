@@ -315,3 +315,61 @@ def test_scoped_cache_interleaved_inputs(spark, docs):
     D.minhash_near_dupes(docs, "text", "doc_id", min_jaccard=0.3)
     assert any(s is c for s in sig_before for c in dd._SIG_CACHE[key])
     D.release_signature_caches(spark)
+
+
+def test_connected_components_random_graph(spark):
+    """200-node random graph vs a NumPy union-find oracle."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    edges = rng.integers(0, 200, size=(150, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+
+    parent = np.arange(200)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = sorted(set(edges.ravel().tolist()))
+    want = {}
+    roots = {}
+    for n in nodes:
+        r = find(n)
+        roots.setdefault(r, n)  # min id per root (nodes iterated ascending)
+        want[n] = roots[r]
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r.id: r.comp for r in D.connected_components(pairs).collect()}
+    assert got == want
+
+
+def test_connected_components_chain_converges(spark):
+    """31-node chain (diameter 30): pointer jumping converges well inside
+    max_iter where plain propagation would need 30 rounds."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    got = {r.id: r.comp for r in D.connected_components(pairs, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(31)}
+
+
+def test_near_dedup_keep_first_transitive(spark):
+    """A~B, B~C must drop BOTH B and C (transitive group), not just the
+    paired loser; untouched rows survive."""
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in D.near_dedup_keep_first(df, pairs, "doc_id").collect()
+    )
+    assert kept == [0, 3, 4]
