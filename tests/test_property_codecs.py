@@ -105,3 +105,48 @@ def test_netcdf3_round_trip(tmp_path_factory, seed, ny, nx, dt):
     nc = read_netcdf3(path)
     np.testing.assert_array_equal(nc.data["v"], arr)
     assert nc.data["v"].dtype == np.dtype(dt)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    nj=st.integers(1, 24),
+    ni=st.integers(1, 24),
+    scale=st.sampled_from([1e-3, 1.0, 1e3, 1e6]),
+    offset=st.sampled_from([0.0, -500.0, 273.15, 1e5]),
+    dec=st.integers(2, 6),
+    nan_frac=st.floats(0.0, 0.4),
+)
+def test_grib2_round_trip(tmp_path_factory, seed, nj, ni, scale, offset, dec, nan_frac):
+    """GRIB2 simple-packing round trip across magnitudes, decimal scales,
+    and NaN bitmaps: |decoded - original| <= the packing quantum
+    (0.5 * 10^-D, plus the binary-scale widening when the 32-bit cap
+    binds)."""
+    import datetime
+
+    from geoglue_spark.sources.grib2 import parse_grib2, write_grib2
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    vals = offset + rng.random((nj, ni)) * scale
+    mask = rng.random((nj, ni)) < nan_frac
+    vals[mask] = np.nan
+    p = str(tmp_path_factory.mktemp("g2") / "x.grib2")
+    write_grib2(
+        p,
+        [{
+            "name": "t2m", "time": datetime.datetime(2020, 6, 1, 12),
+            "lat0": 50.0, "lon0": -10.0, "dlat": 0.5, "dlon": 0.5,
+            "values": vals,
+        }],
+        dec_scale=dec,
+    )
+    r = parse_grib2(p)[0]
+    assert r.values.shape == (nj, ni)
+    np.testing.assert_array_equal(np.isnan(r.values), mask)
+    fin = ~mask
+    if fin.any():
+        span = float(np.nanmax(vals) - np.nanmin(vals)) * 10.0 ** dec
+        # quantum: 0.5 ulp of the packed step; E>0 only when span > 2^32
+        step = 2.0 ** max(0, int(np.ceil(np.log2(max(span, 1) + 1))) - 32)
+        tol = 0.5 * step * 10.0 ** -dec + 1e-12
+        assert float(np.abs(r.values[fin] - vals[fin]).max()) <= tol
