@@ -116,6 +116,8 @@ def winnow_fingerprints(
     shingle_k: int = 5,
     window: int = 4,
     out_col: str = "fingerprints",
+    grouped: bool = True,
+    carry: tuple = (),
 ) -> DataFrame:
     """Winnowing fingerprints as a DataFrame op, scale-shaped: shingle keys
     posexplode to rows (md5 evaluated ONCE per shingle, whole-stage
@@ -132,17 +134,27 @@ def winnow_fingerprints(
     re-inlines the whole expression and turns the query quadratic
     (measured: the fingerprint-stats query went from seconds to a hang).
     The window form costs one doc-keyed shuffle and stays robust under
-    ANY caller plan shape, which is the property a library must keep."""
+    ANY caller plan shape, which is the property a library must keep.
+
+    ``grouped=False`` (the J8 fusion pattern): skip the collect_set
+    re-assembly and return one row per DISTINCT (id, fingerprint) —
+    semantically ``explode(fingerprints)`` of the grouped form without
+    the collect_set shuffle + array explode round trip. Any downstream
+    aggregate over fingerprint ROWS (per-source distinct counts, reuse
+    ratios, index builds) should take this form. ``carry`` passes extra
+    input columns through (e.g. ``source``), saving a re-join against
+    the source table at fact scale."""
     from pyspark.sql import Window as W
 
     from .dedup import shingle_key_col, word_shingles_col
 
     ex = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.posexplode(word_shingles_col(F.col(text_col), shingle_k)).alias(
             "_pos", "_g"
         ),
-    ).select(id_col, "_pos", shingle_key_col(F.col("_g")).alias("_x"))
+    ).select(id_col, *carry, "_pos", shingle_key_col(F.col("_g")).alias("_x"))
     w = (
         W.partitionBy(id_col)
         .orderBy("_pos")
@@ -155,7 +167,11 @@ def winnow_fingerprints(
         # valid window starts only (a short doc keeps its whole-array min)
         .filter(F.col("_pos") <= F.greatest(F.lit(0), F.col("_n") - window))
     )
-    return mins.groupBy(id_col).agg(
+    if not grouped:
+        return mins.select(
+            id_col, *carry, F.col("_wmin").alias(out_col)
+        ).distinct()
+    return mins.groupBy(id_col, *carry).agg(
         F.array_sort(F.collect_set("_wmin")).alias(out_col)
     )
 

@@ -1449,11 +1449,15 @@ def q_winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import winnow_fingerprints
 
     docs = _table(spark, sf_dir, "documents")
-    fp = winnow_fingerprints(docs, "text", "doc_id", _WF_K, _WF_W, out_col="_fp")
-    joined = fp.join(docs.select("doc_id", "source"), "doc_id")
+    # grouped=False + carry (r4): one row per distinct (doc, fingerprint)
+    # with source carried through — drops the collect_set shuffle, the
+    # re-join against documents, and the array re-explode from the plan
+    fp = winnow_fingerprints(
+        docs, "text", "doc_id", _WF_K, _WF_W, out_col="_f",
+        grouped=False, carry=("source",),
+    )
     return (
-        joined.select("source", F.explode("_fp").alias("_f"))
-        .groupBy("source")
+        fp.groupBy("source")
         .agg(
             F.count_distinct("_f").alias("n_distinct_fp"),
             F.round(F.sum(F.lit(1.0)) / F.count_distinct("_f"), 6).alias(

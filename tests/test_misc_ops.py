@@ -340,3 +340,28 @@ def test_punct_and_stopword_ratios(spark):
     assert abs(rows[0].p - 3 / 18) < 1e-12
     assert abs(rows[0].s - 2 / 4) < 1e-12
     assert rows[1].s == 0.0 and rows[2].p == 0.0 and rows[2].s == 0.0
+
+
+def test_winnow_grouped_false_matches_exploded_grouped(spark):
+    """grouped=False == explode(grouped) row-for-row, with carry columns
+    passed through (the fused stats path)."""
+    from pyspark.sql import functions as F
+
+    from geoglue_spark.operators.text import winnow_fingerprints
+
+    rows = [
+        (1, "s1", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "s1", "alpha beta gamma delta epsilon zeta eta theta other tail"),
+        (3, "s2", "completely different words in this one right here folks"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    grouped = winnow_fingerprints(docs, "text", "doc_id")
+    want = {
+        (r.doc_id, f) for r in grouped.collect() for f in r.fingerprints
+    }
+    flat = winnow_fingerprints(
+        docs, "text", "doc_id", grouped=False, carry=("source",), out_col="fp"
+    ).collect()
+    assert {(r.doc_id, r.fp) for r in flat} == want
+    src = dict((r[0], r[1]) for r in rows)
+    assert all(r.source == src[r.doc_id] for r in flat)
