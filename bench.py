@@ -255,6 +255,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "multi_file_archive_stats",
         "ann_cosine_topk_ivf",
         "dedup_clusters",
+        "asof_event_rates",
     ]
     qs = Q.queries()
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -1236,6 +1236,53 @@ FROM weekly
 """
 
 
+def q_asof_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join, r4: every event attaches the event
+    count of the most recent COMPLETED hour for its type — counts become
+    available at hour end, so the right-side timestamp is hour_start + 1h
+    and first-hour events exercise the LEFT-join NULL path. One window
+    shuffle, no range join (operators/timeagg.asof_join). Oracle: DuckDB's
+    native ASOF LEFT JOIN over the identical hourly CTE."""
+    from .operators.timeagg import asof_join
+
+    ev = _table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("_hr"))
+        .agg(F.count("*").alias("prev_hr_n"))
+        .select(
+            "event_type",
+            (F.col("_hr") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+            "prev_hr_n",
+        )
+    )
+    out = asof_join(
+        ev.select("event_id", "ts", "event_type"), hourly,
+        on="ts", by=["event_type"],
+    )
+    # second precision both sides: DuckDB strftime %S truncates micros
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type",
+        "prev_hr_n",
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("hour_end"),
+    )
+
+
+SQL_ASOF_EVENT_RATES = """
+WITH hourly AS (
+  SELECT event_type,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS hts,
+         count(*) AS prev_hr_n
+  FROM events GROUP BY 1, date_trunc('hour', ts)
+)
+SELECT e.event_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts, e.event_type,
+       h.prev_hr_n, strftime(h.hts, '%Y-%m-%d %H:%M:%S') AS hour_end
+FROM events e ASOF LEFT JOIN hourly h
+  ON e.event_type = h.event_type AND e.ts >= h.hts
+"""
+
+
 def q_month_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/I3 pre-commit gate: per-month last observed date + completeness
     (a month is complete when its max date is the month's last day — the
@@ -2016,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_bilinear_summary": q_resample_bilinear_summary,
         "resample_idw_summary": q_resample_idw_summary,
         "rolling_weekly_events": q_rolling_weekly_events,
+        "asof_event_rates": q_asof_event_rates,
         "month_completeness": q_month_completeness,
         "raster_na_summary": q_raster_na_summary,
         "multi_file_archive_stats": q_multi_file_archive_stats,
@@ -2064,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_bilinear_summary": SQL_RESAMPLE_BILINEAR_SUMMARY,
         "resample_idw_summary": SQL_RESAMPLE_IDW_SUMMARY,
         "rolling_weekly_events": SQL_ROLLING_WEEKLY_EVENTS,
+        "asof_event_rates": SQL_ASOF_EVENT_RATES,
         "month_completeness": SQL_MONTH_COMPLETENESS,
         "raster_na_summary": SQL_RASTER_NA_SUMMARY,
         "multi_file_archive_stats": SQL_MULTI_FILE_ARCHIVE_STATS,

@@ -140,3 +140,57 @@ def test_positional_slice(spark):
 def test_is_hourly(spark, hourly):
     assert TA.is_hourly(hourly)
     assert not TA.is_hourly(hourly.filter(F.hour("time") < 23))
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Random keyed series vs the pandas merge_asof oracle: backward,
+    forward, and backward-with-tolerance, including never-matched rows."""
+    import numpy as np
+    import pandas as pd
+
+    from geoglue_spark.operators.timeagg import asof_join
+
+    rng = np.random.default_rng(5)
+    lt = pd.DataFrame({
+        "ts": pd.to_datetime(rng.integers(0, 10_000, 300), unit="s"),
+        "k": rng.integers(0, 4, 300),
+        "lv": np.arange(300.0),
+    })
+    rt = pd.DataFrame({
+        "ts": pd.to_datetime(rng.integers(0, 10_000, 80), unit="s"),
+        "k": rng.integers(0, 4, 80),
+        "rv": np.arange(80.0) * 10,
+    }).drop_duplicates(["k", "ts"])
+    ldf = spark.createDataFrame(lt)
+    rdf = spark.createDataFrame(rt)
+
+    for direction, tol in [("backward", None), ("forward", None), ("backward", 900)]:
+        got = (
+            asof_join(ldf, rdf, on="ts", by=["k"], direction=direction,
+                      tolerance_seconds=tol)
+            .toPandas().sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            lt.sort_values("ts"), rt.sort_values("ts"), on="ts", by="k",
+            direction=direction,
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        ).sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+        assert len(got) == len(want) == 300
+        pd.testing.assert_series_equal(
+            got["rv"], want["rv"], check_names=False, check_dtype=False,
+        )
+
+
+def test_asof_join_equal_ts_inclusive_and_suffix(spark):
+    """Exact timestamp ties match (inclusive, DuckDB ASOF semantics), and
+    clashing right column names get the suffix."""
+    from geoglue_spark.operators.timeagg import asof_join
+
+    left = spark.createDataFrame(
+        [(100, "a", 1.0)], "ts long, k string, value double"
+    )
+    right = spark.createDataFrame(
+        [(100, "a", 9.0), (90, "a", 8.0)], "ts long, k string, value double"
+    )
+    r = asof_join(left, right, on="ts", by=["k"]).collect()[0]
+    assert r.value == 1.0 and r.value_r == 9.0 and r.ts_r == 100
