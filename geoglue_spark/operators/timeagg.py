@@ -166,6 +166,13 @@ def rolling_weekly(
     return weekly.withColumn(f"rolling_{how}", _AGG[how](F.col(value_col)).over(w))
 
 
+def _epoch_sec(col):
+    """Epoch seconds as double from numeric / TIMESTAMP / TIMESTAMP_NTZ
+    columns (NTZ cannot cast to double directly; the intermediate
+    timestamp cast is identity for numerics-as-epoch-seconds)."""
+    return col.cast("timestamp").cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -246,7 +253,7 @@ def asof_join(
     )
     out = carried.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
-        delta = F.col("_t").cast("double") - F.col("_c_on").cast("double")
+        delta = _epoch_sec(F.col("_t")) - _epoch_sec(F.col("_c_on"))
         if direction == "forward":
             delta = -delta
         ok = F.col("_c_on").isNotNull() & (delta <= F.lit(float(tolerance_seconds)))
@@ -260,6 +267,66 @@ def asof_join(
         ],
         F.when(ok, F.col("_c_on")).alias(r_on),
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: list[str] = (),
+    bucket_seconds: int = 3600,
+    max_fanout: int = 4096,
+) -> DataFrame:
+    """Point-in-interval (range) join WITHOUT a nested loop: Spark plans a
+    bare ``p.ts >= i.start AND p.ts < i.end`` condition as a
+    BroadcastNestedLoopJoin — O(points x intervals) compare at fact scale.
+    Instead each interval EXPLODES to the fixed-width time buckets it
+    covers, each point hashes to exactly one bucket, and the join is a
+    pure EQUI-join on (by..., bucket) followed by the exact range filter.
+    Candidate volume per interval = ceil(len/bucket_seconds) + 1 — the
+    J8 bounded-fan-out shape, guarded by ``max_fanout`` with the blow-up
+    arithmetic in the error (an interval spanning years at a 1-second
+    bucket is a parameter decision, not a silent 10^8-row explode).
+
+    Intervals are [start, end) half-open. Pick ``bucket_seconds`` near
+    the TYPICAL interval length: larger buckets cut the interval fan-out,
+    smaller buckets cut false candidates per bucket.
+    """
+    by = list(by)
+    b = int(bucket_seconds)
+    s_ep = _epoch_sec(F.col(start_col))
+    e_ep = _epoch_sec(F.col(end_col))
+    lo = F.floor(s_ep / b).cast("long")
+    hi = F.floor((e_ep - F.lit(1e-9)) / b).cast("long")
+    n_buckets = hi - lo + 1
+    guard = F.when(
+        n_buckets <= max_fanout, F.sequence(lo, hi)
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "interval_join fan-out overflow: interval [%s, %s) spans %s "
+                f"buckets of {b}s (max_fanout={max_fanout}); raise "
+                "bucket_seconds or split the interval",
+                F.col(start_col).cast("string"), F.col(end_col).cast("string"),
+                n_buckets.cast("string"),
+            )
+        )
+    )
+    iv = intervals.withColumn("_bkt", F.explode(guard))
+    pt = points.withColumn(
+        "_bkt", F.floor(_epoch_sec(F.col(ts_col)) / b).cast("long")
+    )
+    cond = [pt["_bkt"] == iv["_bkt"]] + [pt[c] == iv[c] for c in by]
+    joined = pt.join(iv, cond).filter(
+        (_epoch_sec(pt[ts_col]) >= _epoch_sec(iv[start_col]))
+        & (_epoch_sec(pt[ts_col]) < _epoch_sec(iv[end_col]))
+    )
+    keep = [pt[c] for c in points.columns] + [
+        iv[c] for c in intervals.columns if c not in by
+    ]
+    return joined.select(*keep)
 
 
 def positional_slice(

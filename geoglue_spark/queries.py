@@ -1283,6 +1283,52 @@ FROM events e ASOF LEFT JOIN hourly h
 """
 
 
+def q_interval_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (point-in-interval) join, r4: 24 deterministic one-hour promo
+    windows per event type, every event joined to the windows containing
+    it via the BUCKETED equi-join (operators/timeagg.interval_join — a
+    bare range condition would plan as a nested loop). Oracle: DuckDB's
+    plain inequality join over identical generated windows."""
+    from .operators.timeagg import interval_join
+
+    ev = _table(spark, sf_dir, "events")
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    wins = (
+        ev.select("event_type").distinct()
+        .withColumn("win_id", F.explode(F.sequence(F.lit(0), F.lit(23))))
+        .select(
+            "event_type",
+            "win_id",
+            (t0 + F.make_interval(secs=F.col("win_id") * 9000)).alias("ws"),
+            (t0 + F.make_interval(secs=F.col("win_id") * 9000 + 3600)).alias("we"),
+        )
+    )
+    j = interval_join(
+        ev.select("ts", "event_type", "value"), wins,
+        ts_col="ts", start_col="ws", end_col="we", by=["event_type"],
+        bucket_seconds=3600,
+    )
+    return j.groupBy("event_type", "win_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )
+
+
+SQL_INTERVAL_EVENT_COUNTS = """
+WITH wins AS (
+  SELECT t.event_type, k.k AS win_id,
+         TIMESTAMP '2024-01-01 00:00:00' + k.k * 9000 * INTERVAL 1 SECOND AS ws,
+         TIMESTAMP '2024-01-01 00:00:00' + (k.k * 9000 + 3600) * INTERVAL 1 SECOND AS we
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(0, 23)) AS k) k
+)
+SELECT w.event_type, w.win_id, count(*) AS n, round(avg(e.value), 6) AS mean_value
+FROM events e JOIN wins w
+  ON e.event_type = w.event_type AND e.ts >= w.ws AND e.ts < w.we
+GROUP BY 1, 2
+"""
+
+
 def q_month_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/I3 pre-commit gate: per-month last observed date + completeness
     (a month is complete when its max date is the month's last day — the
@@ -2064,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_idw_summary": q_resample_idw_summary,
         "rolling_weekly_events": q_rolling_weekly_events,
         "asof_event_rates": q_asof_event_rates,
+        "interval_event_counts": q_interval_event_counts,
         "month_completeness": q_month_completeness,
         "raster_na_summary": q_raster_na_summary,
         "multi_file_archive_stats": q_multi_file_archive_stats,
@@ -2113,6 +2160,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_idw_summary": SQL_RESAMPLE_IDW_SUMMARY,
         "rolling_weekly_events": SQL_ROLLING_WEEKLY_EVENTS,
         "asof_event_rates": SQL_ASOF_EVENT_RATES,
+        "interval_event_counts": SQL_INTERVAL_EVENT_COUNTS,
         "month_completeness": SQL_MONTH_COMPLETENESS,
         "raster_na_summary": SQL_RASTER_NA_SUMMARY,
         "multi_file_archive_stats": SQL_MULTI_FILE_ARCHIVE_STATS,

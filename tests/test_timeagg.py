@@ -194,3 +194,50 @@ def test_asof_join_equal_ts_inclusive_and_suffix(spark):
     )
     r = asof_join(left, right, on="ts", by=["k"]).collect()[0]
     assert r.value == 1.0 and r.value_r == 9.0 and r.ts_r == 100
+
+
+def test_interval_join_matches_brute_force(spark):
+    """Bucketed interval join == the O(n*m) brute-force condition, across
+    bucket widths, with by-keys and boundary timestamps (half-open)."""
+    import numpy as np
+
+    from geoglue_spark.operators.timeagg import interval_join
+
+    rng = np.random.default_rng(9)
+    pts = [(int(i), int(t), "k%d" % (i % 2)) for i, t in
+           enumerate(rng.integers(0, 100_000, 400))]
+    ivs = []
+    for j in range(30):
+        s = int(rng.integers(0, 95_000))
+        ivs.append((j, s, s + int(rng.integers(1, 20_000)), "k%d" % (j % 2)))
+    # exact-boundary probes: ts == start (in) and ts == end (out)
+    pts += [(1000, ivs[0][1], ivs[0][3]), (1001, ivs[0][2], ivs[0][3])]
+    p = spark.createDataFrame(pts, "pid long, ts long, k string")
+    iv = spark.createDataFrame(ivs, "iid long, start long, end long, k string")
+    want = {
+        (r.pid, r.iid)
+        for r in p.crossJoin(iv.withColumnRenamed("k", "k2"))
+        .filter("k = k2 AND ts >= start AND ts < end").collect()
+    }
+    for bucket in (100, 3600, 50_000):
+        got = {
+            (r.pid, r.iid)
+            for r in interval_join(
+                p, iv, "ts", "start", "end", by=["k"], bucket_seconds=bucket
+            ).collect()
+        }
+        assert got == want, bucket
+    # half-open boundaries against interval 0 specifically
+    assert (1000, 0) in want and (1001, 0) not in want
+
+
+def test_interval_join_fanout_guard(spark):
+    import pytest as _pt
+
+    from geoglue_spark.operators.timeagg import interval_join
+
+    p = spark.createDataFrame([(1, 5)], "pid long, ts long")
+    iv = spark.createDataFrame([(1, 0, 10_000_000)], "iid long, start long, end long")
+    with _pt.raises(Exception, match="fan-out overflow"):
+        interval_join(p, iv, "ts", "start", "end", bucket_seconds=1,
+                      max_fanout=1000).collect()
