@@ -256,6 +256,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "ann_cosine_topk_ivf",
         "dedup_clusters",
         "asof_event_rates",
+        "interval_event_counts",
     ]
     qs = Q.queries()
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
