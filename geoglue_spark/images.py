@@ -12,7 +12,8 @@ free codec for the formats the synthetic fixtures use:
                round-trips at PSNR ~= 46 dB, exercising the PSNR >= 40 dB
                invariant without a JPEG library.
 
-Formats needing external decoders (jpeg/webp/...) raise NotImplementedError
+Baseline JPEG is implemented in :mod:`geoglue_spark.jpeg` (pure NumPy);
+formats needing external decoders (webp/...) raise NotImplementedError
 — clearly-marked stubs; the Spark-side plumbing (schema, Arrow batching,
 partitioning) is identical for them.
 
@@ -208,11 +209,19 @@ def encode_qnt(pixels: np.ndarray) -> bytes:
     return encode_png(q)
 
 
+JPEG_QUALITY = 98  # 4:4:4 at q98 holds PSNR >= 40 dB even on the
+#                    hard-edged synthetic fixtures (input_hint invariant)
+
+
 def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt == "raw":
         return decode_raw(buf, w, h)
     if fmt in ("png", "qnt"):
         return decode_png(buf)
+    if fmt in ("jpg", "jpeg"):
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(buf)
     raise NotImplementedError(f"STUB: no decoder for fmt={fmt!r} in this container")
 
 
@@ -223,6 +232,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         return encode_png(pixels)
     if fmt == "qnt":
         return encode_qnt(pixels)
+    if fmt in ("jpg", "jpeg"):
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(pixels, quality=JPEG_QUALITY, subsampling="444")
     raise NotImplementedError(f"STUB: no encoder for fmt={fmt!r} in this container")
 
 

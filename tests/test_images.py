@@ -47,10 +47,14 @@ def test_phash_differs_for_different_content():
 
 
 def test_unknown_fmt_raises():
+    # webp remains a genuine stub; jpeg is now implemented, so garbage
+    # bytes fail with a decode error rather than NotImplementedError
     with pytest.raises(NotImplementedError):
-        I.decode_image(b"xx", 2, 2, "jpeg")
+        I.decode_image(b"xx", 2, 2, "webp")
     with pytest.raises(NotImplementedError):
         I.encode_image(np.zeros((2, 2), np.uint8), "webp")
+    with pytest.raises(ValueError, match="not a JPEG"):
+        I.decode_image(b"xx", 2, 2, "jpeg")
 
 
 def test_images_table_schema_and_determinism(spark):

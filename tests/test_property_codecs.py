@@ -150,3 +150,45 @@ def test_grib2_round_trip(tmp_path_factory, seed, nj, ni, scale, offset, dec, na
         step = 2.0 ** max(0, int(np.ceil(np.log2(max(span, 1) + 1))) - 32)
         tol = 0.5 * step * 10.0 ** -dec + 1e-12
         assert float(np.abs(r.values[fin] - vals[fin]).max()) <= tol
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(8, 48),
+    w=st.integers(8, 48),
+    color=st.booleans(),
+    quality=st.integers(85, 100),
+)
+def test_jpeg_round_trip_property(seed, h, w, color, quality):
+    """Baseline JPEG on band-limited random fields: decodes to the same
+    shape with quality-calibrated PSNR floors (small images put the full
+    field into one 8x8 block, so mid-quality quantization legitimately
+    costs more there)."""
+    from geoglue_spark.images import psnr
+    from geoglue_spark.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    base = rng.random((6, 6)) * 200 + 28
+    # bilinear-upsample a coarse field -> band-limited image
+    ys = np.linspace(0, 5, h)
+    xs = np.linspace(0, 5, w)
+    y0 = np.floor(ys).astype(int).clip(0, 4); x0 = np.floor(xs).astype(int).clip(0, 4)
+    fy = (ys - y0)[:, None]; fx = (xs - x0)[None, :]
+    img = ((1 - fy) * (1 - fx) * base[y0][:, x0] + (1 - fy) * fx * base[y0][:, x0 + 1]
+           + fy * (1 - fx) * base[y0 + 1][:, x0] + fy * fx * base[y0 + 1][:, x0 + 1])
+    img = img.clip(0, 255).astype(np.uint8)
+    if color:
+        # modest chroma (scaled copies): the Annex-K chroma table's high
+        # frequencies are 99s, so saturated complementary channels at
+        # mid quality lose 10+ dB legitimately — that's JPEG, not a bug
+        img = np.stack(
+            [img, (img * 0.8 + 20).astype(np.uint8), (img * 0.9 + 10).astype(np.uint8)],
+            axis=-1,
+        )
+    back = decode_jpeg(encode_jpeg(img, quality=quality, subsampling="444"))
+    assert back.shape == img.shape
+    assert psnr(img, back) >= (38.0 if quality >= 95 else 30.0)
+    # near-lossless limit: q100 quant tables are all-ones scale
+    back100 = decode_jpeg(encode_jpeg(img, quality=100, subsampling="444"))
+    assert psnr(img, back100) >= 45.0
