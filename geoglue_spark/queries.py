@@ -1925,6 +1925,47 @@ FROM comp GROUP BY component
 """
 
 
+_JPG_N = 150
+
+
+def q_images_jpg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-codec gate in the driver loop (r4): a deterministic
+    150-image fixture subset re-encodes through the pure-NumPy baseline
+    JPEG codec (jpeg.py) inside Arrow batches; EVERY image must hold the
+    input_hint PSNR >= 40 dB invariant (the <=2-bit phash-drift half of
+    the invariant is pytest-pinned in tests/test_jpeg.py). The oracle is
+    the closed-form expectation (all rows pass) — a codec regression
+    flips the pass counts and hash-mismatches."""
+    from .operators.multimodal import reencode_psnr
+
+    imgs = _images(spark).filter(
+        F.col("image_id") < f"img{_JPG_N:012d}"
+    )
+    re = reencode_psnr(imgs, fmt="jpg")
+    return re.agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.when(F.col("psnr_db") >= 40.0, 1).otherwise(0)).alias(
+            "n_psnr_ge_40"
+        ),
+        F.round(F.min("psnr_db"), 1).alias("min_psnr_floor"),
+    ).select(
+        "n_images", "n_psnr_ge_40",
+        # the exact minimum is codec-version-specific; the driver-stable
+        # fact is that it clears the 40 dB gate
+        F.when(F.col("min_psnr_floor") >= 40.0, F.lit(40.0)).otherwise(
+            F.lit(-1.0)
+        ).alias("min_psnr_ge_gate"),
+    )
+
+
+SQL_IMAGES_JPG_ROUNDTRIP = """
+SELECT count(*) AS n_images, count(*) AS n_psnr_ge_40,
+       40.0 AS min_psnr_ge_gate
+FROM read_parquet('{images_path}')
+WHERE image_id < 'img{jpg_n:012d}'
+"""
+
+
 def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands, qs = _queries_from_embeddings(spark, sf_dir)
     return cosine_topk_lsh(cands, qs, k=5, n_bits=12, probe_hamming=4).select(
@@ -2097,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dupes": q_simhash_near_dupes,
         "phash_dedup_pairs": q_phash_dedup_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "images_jpg_roundtrip": q_images_jpg_roundtrip,
         "embedding_near_dupes": q_embedding_near_dupes,
         "lon_normalize_hist": q_lon_normalize_hist,
         "crop_bbox_count": q_crop_bbox_count,
@@ -2175,6 +2217,9 @@ def oracle_sql() -> dict[str, str]:
         # file the Spark query scans (ensured to exist here)
         "dedup_clusters": SQL_DEDUP_CLUSTERS.format(
             images_path=images_parquet(N_IMAGES)
+        ),
+        "images_jpg_roundtrip": SQL_IMAGES_JPG_ROUNDTRIP.format(
+            images_path=images_parquet(N_IMAGES), jpg_n=_JPG_N
         ),
         "phash_dedup_pairs": SQL_PHASH_DEDUP_PAIRS.format(
             images_path=images_parquet(N_IMAGES)
