@@ -205,6 +205,15 @@ def asof_join(
     they clash with a left column, in which case ``suffix`` is appended;
     the matched right timestamp always lands in ``{on}{suffix}``.
 
+    The match is ROW-ATOMIC: all right columns travel as ONE struct with
+    a single ``last(ignorenulls)``, so a legitimately-NULL right column
+    stays NULL in the output instead of silently inheriting an older
+    right row's value, and every output column comes from the SAME
+    matched right row (pandas merge_asof / DuckDB ASOF semantics for
+    nullable right columns). A NULL left timestamp never matches in
+    either direction (NULLs sort before every right row in the carry
+    order).
+
     The right side should be UNIQUE per (by, on) — with duplicate right
     timestamps the winner is partition-order-dependent (DuckDB's ASOF has
     the same caveat); pre-aggregate the right side to one row per instant.
@@ -217,55 +226,62 @@ def asof_join(
     lcols = [c for c in left.columns]
     r_on = on + suffix
 
+    # one struct holds the whole candidate right row (atomic carry);
+    # positional field names sidestep any left/right name collisions
+    rstruct = F.struct(
+        *[F.col(c).alias(f"f{i}") for i, c in enumerate(rcols)],
+        F.col(on).alias("f_on"),
+    )
+    rtype = right.select(rstruct.alias("_r")).schema["_r"].dataType
+
     l_tagged = left.select(
         F.col(on).alias("_t"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(out_names[c]) for c in rcols],
-        F.lit(None).cast(dict(right.dtypes)[on]).alias(r_on),
+        F.lit(None).cast(rtype).alias("_r"),
         *[F.col(c).alias(f"_by_{i}") for i, c in enumerate(by)],
     )
     r_tagged = right.select(
         F.col(on).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
-        *[F.col(c).alias(out_names[c]) for c in rcols],
-        F.col(on).alias(r_on),
+        rstruct.alias("_r"),
         *[F.col(c).alias(f"_by_{i}") for i, c in enumerate(by)],
     )
     from pyspark.sql import Window as W
 
-    order = [F.col("_t"), F.col("_side")]
     if direction == "forward":
-        order = [F.col("_t").desc(), F.col("_side")]
+        # desc_nulls_first: a NULL left timestamp must sort BEFORE every
+        # right row so the carry is still empty when it arrives (plain
+        # desc puts NULLs last, where they'd pick up a spurious match)
+        order = [F.col("_t").desc_nulls_first(), F.col("_side")]
+    else:
+        # asc sorts NULLs first by default — same no-match guarantee
+        order = [F.col("_t"), F.col("_side")]
     w = (
         W.partitionBy(*[f"_by_{i}" for i in range(len(by))])
         .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(
-        "*",
-        *[
-            F.last(out_names[c], ignorenulls=True).over(w).alias(f"_c_{i}")
-            for i, c in enumerate(rcols)
-        ],
-        F.last(r_on, ignorenulls=True).over(w).alias("_c_on"),
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_m")
     )
     out = carried.filter(F.col("_side") == 1)
+    c_on = F.col("_m").getField("f_on")
     if tolerance_seconds is not None:
-        delta = _epoch_sec(F.col("_t")) - _epoch_sec(F.col("_c_on"))
+        delta = _epoch_sec(F.col("_t")) - _epoch_sec(c_on)
         if direction == "forward":
             delta = -delta
-        ok = F.col("_c_on").isNotNull() & (delta <= F.lit(float(tolerance_seconds)))
+        ok = c_on.isNotNull() & (delta <= F.lit(float(tolerance_seconds)))
     else:
-        ok = F.col("_c_on").isNotNull()
+        ok = c_on.isNotNull()
     return out.select(
         *[F.col(c) for c in lcols],
         *[
-            F.when(ok, F.col(f"_c_{i}")).alias(out_names[c])
+            F.when(ok, F.col("_m").getField(f"f{i}")).alias(out_names[c])
             for i, c in enumerate(rcols)
         ],
-        F.when(ok, F.col("_c_on")).alias(r_on),
+        F.when(ok, c_on).alias(r_on),
     )
 
 
@@ -293,6 +309,12 @@ def interval_join(
     Intervals are [start, end) half-open. Pick ``bucket_seconds`` near
     the TYPICAL interval length: larger buckets cut the interval fan-out,
     smaller buckets cut false candidates per bucket.
+
+    Degenerate intervals (``end <= start``, including inverted ones)
+    contain NO point under the half-open semantics and explode to ZERO
+    buckets — without this branch ``sequence(lo, hi)`` with ``lo > hi``
+    produces a DESCENDING sequence, turning a far-inverted interval into
+    exactly the unbounded fan-out the guard exists to prevent.
     """
     by = list(by)
     b = int(bucket_seconds)
@@ -302,6 +324,8 @@ def interval_join(
     hi = F.floor((e_ep - F.lit(1e-9)) / b).cast("long")
     n_buckets = hi - lo + 1
     guard = F.when(
+        n_buckets < 1, F.array().cast("array<long>")
+    ).when(
         n_buckets <= max_fanout, F.sequence(lo, hi)
     ).otherwise(
         F.raise_error(

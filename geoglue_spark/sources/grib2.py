@@ -187,7 +187,12 @@ def parse_grib2(path: str, params: set[str] | None = None) -> list[GribRecord]:
                     ].astype(bool)
                 elif ind == 255:
                     bitmap = None
-                elif ind != 254:  # 254 = reuse previously-defined bitmap
+                else:
+                    # 254 (reuse previously-defined bitmap) is NOT tracked
+                    # across messages here — accepting it would unpack
+                    # ni*nj values from a bitmap-compressed section 7:
+                    # reshape error at best, silently wrong values when the
+                    # byte-padded length happens to fit. Refuse loudly.
                     raise NotImplementedError(f"predefined GRIB2 bitmap {ind}")
             elif snum == 7:
                 npts = ni * nj
@@ -337,8 +342,12 @@ def write_grib2(
             + bytes([stype, 0]) + sval.to_bytes(4, "big")
             + bytes([255, 0]) + (0).to_bytes(4, "big")
         )
+        # octets 6-9 of section 5 = number of data points actually PACKED
+        # in section 7 (WMO FM 92-16): with a bitmap that is the masked
+        # count, not ni*nj — external decoders (cfgrib/wgrib2) parse this
+        # field even though the in-repo reader derives it from the bitmap
         sec5 = (
-            b"\x05" + (ni * nj).to_bytes(4, "big") + (0).to_bytes(2, "big")
+            b"\x05" + int(mask.sum()).to_bytes(4, "big") + (0).to_bytes(2, "big")
             + struct.pack(">f", ref) + _sm_bytes(e, 2) + _sm_bytes(d, 2)
             + bytes([nbits, 0])
         )

@@ -186,3 +186,53 @@ def test_spark_and_api_dispatch(spark, tmp_path):
     mixed = raster_from_file(spark, [p1, GRIB1], var="t2m")
     n = mixed.groupBy("src").agg(F.count("*").alias("n")).collect()
     assert {r.n for r in n} == {6, 8760 * 45}
+
+
+def _sections(buf):
+    """(section_number, absolute_offset, body) triples of one message."""
+    out, p = [], 16
+    while buf[p : p + 4] != b"7777":
+        slen = int.from_bytes(buf[p : p + 4], "big")
+        out.append((buf[p + 4], p, buf[p + 4 : p + slen]))
+        p += slen
+    return out
+
+
+def test_bitmap_254_refused(tmp_path):
+    """ADVICE r4: bitmap indicator 254 (reuse previous bitmap) is not
+    tracked across messages — parsing must refuse loudly, never unpack
+    ni*nj values from a bitmap-compressed section 7."""
+    p = str(tmp_path / "b254.grib2")
+    f = _tiny_field(nj=4, ni=5)
+    f["values"][1, 2] = np.nan  # forces a real bitmap section
+    write_grib2(p, [f])
+    buf = bytearray(open(p, "rb").read())
+    secs = {num: off for num, off, _ in _sections(bytes(buf))}
+    assert buf[secs[6] + 5] == 0  # sanity: a present bitmap was written
+    buf[secs[6] + 5] = 254
+    p2 = str(tmp_path / "b254_patched.grib2")
+    open(p2, "wb").write(bytes(buf))
+    with pytest.raises(NotImplementedError, match="254"):
+        parse_grib2(p2)
+
+
+def test_section5_packed_count_with_bitmap(tmp_path):
+    """ADVICE r4: section 5 octets 6-9 carry the count of values actually
+    PACKED (masked count with a bitmap), which external decoders parse —
+    not ni*nj."""
+    p = str(tmp_path / "npack.grib2")
+    f = _tiny_field(nj=4, ni=5)
+    f["values"][0, 0] = np.nan
+    f["values"][3, 4] = np.nan
+    write_grib2(p, [f])
+    buf = open(p, "rb").read()
+    body = {num: s for num, _, s in _sections(buf)}
+    npacked = int.from_bytes(body[5][1:5], "big")
+    assert npacked == 18  # 20 grid points - 2 NaN holes
+    # and the round trip still restores the NaN holes bit-exactly
+    r = parse_grib2(p)[0]
+    assert np.isnan(r.values[0, 0]) and np.isnan(r.values[3, 4])
+    np.testing.assert_allclose(
+        r.values[np.isfinite(r.values)],
+        f["values"][np.isfinite(f["values"])], atol=1e-6,
+    )

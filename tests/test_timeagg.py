@@ -241,3 +241,53 @@ def test_interval_join_fanout_guard(spark):
     with _pt.raises(Exception, match="fan-out overflow"):
         interval_join(p, iv, "ts", "start", "end", bucket_seconds=1,
                       max_fanout=1000).collect()
+
+
+def test_asof_join_null_right_column_atomic(spark):
+    """ADVICE r4: the match is row-atomic — a legitimately-NULL right
+    column stays NULL instead of inheriting an OLDER right row's value,
+    and all output columns come from the same matched right row."""
+    from geoglue_spark.operators.timeagg import asof_join
+
+    left = spark.createDataFrame([(100, 1.0)], "ts long, lv double")
+    right = spark.createDataFrame(
+        [(50, 7.0, "old"), (90, None, "new")],
+        "ts long, rv double, tag string",
+    )
+    r = asof_join(left, right, on="ts").collect()[0]
+    assert r.ts_r == 90 and r.tag == "new"
+    assert r.rv is None  # NOT 7.0 from the older row
+
+
+def test_asof_join_null_left_ts_never_matches(spark):
+    """ADVICE r4: a NULL left timestamp yields NULL right columns in BOTH
+    directions (forward used to sort NULLs last and pick up the carry)."""
+    from geoglue_spark.operators.timeagg import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 1.0), (100, 2.0)], "ts long, lv double"
+    )
+    right = spark.createDataFrame([(100, 9.0)], "ts long, rv double")
+    for direction in ("backward", "forward"):
+        rows = {r.lv: r for r in asof_join(
+            left, right, on="ts", direction=direction
+        ).collect()}
+        assert rows[1.0].rv is None and rows[1.0].ts_r is None
+        assert rows[2.0].rv == 9.0
+
+
+def test_interval_join_inverted_and_empty_intervals(spark):
+    """ADVICE r4: end <= start contains nothing under [start, end) — an
+    inverted interval must yield ZERO candidates, not a descending-
+    sequence explode that bypasses the fan-out guard."""
+    from geoglue_spark.operators.timeagg import interval_join
+
+    p = spark.createDataFrame([(1, 5)], "pid long, ts long")
+    iv = spark.createDataFrame(
+        # far-inverted (would explode to 10^7 buckets pre-fix) and empty
+        [(1, 10_000_000, 0), (2, 5, 5)],
+        "iid long, start long, end long",
+    )
+    out = interval_join(p, iv, "ts", "start", "end", bucket_seconds=1,
+                        max_fanout=1000)
+    assert out.count() == 0
