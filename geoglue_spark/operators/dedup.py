@@ -14,6 +14,7 @@ dedup family. Design rules at 100 TB scale:
 from __future__ import annotations
 
 import hashlib
+import weakref
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -34,6 +35,12 @@ _SIG_CACHE: dict[tuple[str, str], list[DataFrame]] = {}
 # lose the cache. More than two genuinely concurrent dedup inputs per
 # operator should run on separate sessions or raise _SIG_CACHE_SLOTS.
 _SIG_CACHE_SLOTS = 2
+
+# row counts of materialized signature caches, weak-keyed on the cached
+# frame itself (sameResult reuse in _scoped_cache returns the SAME object,
+# so a hit here means the materialization job already ran); entries vanish
+# with the frame, so an evicted cache re-counts on next use
+_SIG_COUNTS: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def _scoped_cache(df: DataFrame, op: str) -> DataFrame:
@@ -539,6 +546,7 @@ def embedding_near_dupes(
     min_cosine: float = 0.95,
     n_bits: int = 12,
     band_hamming: int = 2,
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
@@ -568,10 +576,20 @@ def embedding_near_dupes(
     than the warm Arrow kernel at 50k candidate pairs x 64 dims — so the
     hot path stays Arrow. Either form matches the DuckDB brute-force
     all-pairs value oracle.
-    """
-    import pandas as pd
 
-    from .similarity import _normalize, _stack_vectors, hyperplane_signature_udf
+    Stage shape (r4 verdict #2 — the plan was stage-latency-bound, ~8
+    stages at 2k vectors): the signature cache materializes ONCE (its
+    count also sizes the strategy); the pair dedup aggregate is GONE
+    (distinct XOR masks make candidate pairs provably unique — see the
+    inline proof); and when the table fits ``broadcast_threshold`` rows,
+    the signature side of the candidate join and the shared vector side
+    of both re-joins broadcast explicitly (ReuseExchange collapses the
+    two vector broadcasts into one build). Net: ZERO shuffles below the
+    threshold. Above it every join reverts to the shuffled equi-join —
+    the correct 10^9-vector shape, where a broadcast of the full table
+    would not fit an executor.
+    """
+    from .similarity import hyperplane_signature_udf
 
     sig = hyperplane_signature_udf(None, n_bits)  # dim read from the data
     # cached (scope-managed): both join sides read it, and the rows are
@@ -580,56 +598,95 @@ def embedding_near_dupes(
         df.select(F.col(id_col).alias("_id"), sig(F.col(vec_col)).alias("_sig")),
         "embedding",
     )
+    # materialize the cache BEFORE the 79x probe fan-out references it
+    # twice (pre-fix, both references raced to fill it lazily), and learn
+    # n to pick broadcast vs shuffle joins; memoized per cached frame so
+    # repeat construction over the same input stays job-free
+    n_vec = _SIG_COUNTS.get(with_sig)
+    if n_vec is None:
+        n_vec = with_sig.count()
+        _SIG_COUNTS[with_sig] = n_vec
+    small = n_vec <= broadcast_threshold
     # multiprobe equi-join (scales, unlike a non-equi self-join): the LEFT
     # side emits its signature plus every <=band_hamming-bit-flip variant;
     # an exact match on the RIGHT's plain signature covers all pairs within
     # that Hamming radius. Fan-out = 1 + n_bits + C(n_bits, 2) for radius 2.
     if band_hamming > 2:
         raise NotImplementedError("multiprobe implemented for band_hamming <= 2")
-    probes = [F.col("_sig")]
+    masks = [0]
     if band_hamming >= 1:
-        probes += [
-            F.col("_sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)
-        ]
+        masks += [1 << i for i in range(n_bits)]
     if band_hamming >= 2:
-        probes += [
-            F.col("_sig").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+        masks += [
+            (1 << i) | (1 << j)
             for i in range(n_bits)
             for j in range(i + 1, n_bits)
         ]
+    # ONE array literal + one XOR after the explode (not 79 XOR expression
+    # trees in the projection): the driver re-analyzes this plan on every
+    # AQE step and broadcast build, so expression-node count is a real
+    # driver-CPU cost, not style (generators can't nest inside the XOR, so
+    # the explode lands in its own projection)
     a = with_sig.select(
-        "_id", F.explode(F.array(*probes)).alias("_probe")
+        "_id", "_sig", F.explode(F.lit(masks)).alias("_mask")
+    ).select(
+        "_id", F.col("_sig").bitwiseXOR(F.col("_mask")).alias("_probe")
     ).alias("a")
     b = with_sig.alias("b")
-    cand_ids = (
-        a.join(
-            b,
-            (F.col("a._probe") == F.col("b._sig")) & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # vectors enter the shuffle ONLY here, at candidate-pair volume
+    b_side = F.broadcast(b) if small else b
+    # NO pair dedup needed: the XOR masks are pairwise distinct, so a row's
+    # 79 probe values are pairwise distinct, so a given (id_a, id_b) can
+    # match through exactly ONE probe (the mask equal to sig_a XOR sig_b).
+    # Dropping the former dropDuplicates removes the plan's only shuffle —
+    # on the broadcast path the whole query is now exchange-free.
+    cand_ids = a.join(
+        b_side,
+        (F.col("a._probe") == F.col("b._sig")) & (F.col("a._id") < F.col("b._id")),
+    ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    # vectors enter the join ONLY here, at candidate-pair volume. Both
+    # re-joins reference the SAME child plan (aliased, not re-projected),
+    # so ReuseExchange builds the vector broadcast once for the two BHJs.
     vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"))
-    cand = cand_ids.join(
-        vecs.select(F.col("_vid").alias("id_a"), F.col("_vv").alias("_va")), "id_a"
-    ).join(
-        vecs.select(F.col("_vid").alias("id_b"), F.col("_vv").alias("_vb")), "id_b"
+    v1 = F.broadcast(vecs.alias("v1")) if small else vecs.alias("v1")
+    v2 = F.broadcast(vecs.alias("v2")) if small else vecs.alias("v2")
+    cand = (
+        cand_ids.join(v1, F.col("id_a") == F.col("v1._vid"))
+        .join(v2, F.col("id_b") == F.col("v2._vid"))
+        .select(
+            "id_a", "id_b",
+            F.col("v1._vv").alias("_va"), F.col("v2._vv").alias("_vb"),
+        )
     )
-
-    # unannotated on purpose: `from __future__ import annotations` turns
-    # hints into strings pandas_udf can't resolve with pd imported locally
-    @F.pandas_udf("double")
-    def cos_udf(va, vb):
-        ma = _normalize(_stack_vectors(va))
-        mb = _normalize(_stack_vectors(vb))
-        return pd.Series(np.round(np.einsum("ij,ij->i", ma, mb), 6))
 
     return (
-        cand.withColumn("cosine", cos_udf(F.col("_va"), F.col("_vb")))
+        cand.withColumn("cosine", _cos_pair_udf()(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
+
+
+_COS_PAIR_UDF = None
+
+
+def _cos_pair_udf():
+    """Exact pairwise cosine, Arrow-batched einsum; memoized so repeated
+    plans share one udf object (same plan fingerprint, no re-pickle).
+    Unannotated on purpose: `from __future__ import annotations` turns
+    hints into strings pandas_udf can't resolve with pd imported locally."""
+    global _COS_PAIR_UDF
+    if _COS_PAIR_UDF is None:
+        import pandas as pd
+
+        from .similarity import _normalize, _stack_vectors
+
+        @F.pandas_udf("double")
+        def cos_udf(va, vb):
+            ma = _normalize(_stack_vectors(va))
+            mb = _normalize(_stack_vectors(vb))
+            return pd.Series(np.round(np.einsum("ij,ij->i", ma, mb), 6))
+
+        _COS_PAIR_UDF = cos_udf
+    return _COS_PAIR_UDF
 
 
 # --------------------------------------------------------------------------

@@ -115,13 +115,26 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     return rng.standard_normal((dim, n_bits))
 
 
+_SIG_UDF_MEMO: dict[tuple, object] = {}
+
+
 def hyperplane_signature_udf(dim: int | None, n_bits: int = 16, seed: int = 42):
     """Random-hyperplane LSH signature (deterministic seed): sign pattern of
     n_bits projections — cos-similar vectors collide with high probability.
 
     ``dim=None`` defers plane generation to the first Arrow batch on each
     worker (vector width read from the data) — plan construction launches
-    no Spark job, and the planes are bit-identical to the eager form."""
+    no Spark job, and the planes are bit-identical to the eager form.
+
+    Memoized per (dim, n_bits, seed): callers get the SAME udf object, so
+    plans built on it are Catalyst-``sameResult`` across invocations — the
+    dedup scoped signature cache hits instead of recomputing (a fresh udf
+    object per call made every query re-sign, re-cache, and re-count the
+    whole table: the r4 `embedding_near_dupes` clean-window regression)."""
+    memo_key = (dim, n_bits, seed)
+    memoed = _SIG_UDF_MEMO.get(memo_key)
+    if memoed is not None:
+        return memoed
     planes_cache: dict[int, np.ndarray] = {}
     if dim is not None:
         planes_cache[dim] = _hyperplanes(dim, n_bits, seed)
@@ -140,6 +153,7 @@ def hyperplane_signature_udf(dim: int | None, n_bits: int = 16, seed: int = 42):
             vals |= bits[:, b].astype(np.int64) << b
         return pd.Series(vals)
 
+    _SIG_UDF_MEMO[memo_key] = sig
     return sig
 
 

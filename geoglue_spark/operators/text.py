@@ -1,18 +1,16 @@
-"""Text analysis for training-data pipelines — all JVM-side where possible.
+"""Text analysis for training-data pipelines — all JVM-side.
 
 Token counting, quality scoring, language ID (stopword heuristic), and
-document fingerprinting. Only language ID touches Python (set lookups per
-token), Arrow-batched; everything else is built-in pyspark.sql.functions
-inside whole-stage codegen.
+document fingerprinting, every one a Column expression: nothing in this
+module crosses into Python at execution time (the higher-order-function
+lambdas run interpreted on the JVM, everything else in whole-stage
+codegen).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 # tiny per-language stopword lists (public common words)
 STOPWORDS = {
@@ -176,26 +174,35 @@ def winnow_fingerprints(
     )
 
 
-def lang_id_udf():
-    """Heuristic language ID: argmax of stopword-hit fractions; 'und' when
-    nothing matches. Vectorized per Arrow batch."""
+def lang_id_col(text: Column) -> Column:
+    """Heuristic language ID as a pure Column expression (r4 verdict #4:
+    the former pandas-UDF version looped over rows in Python — the
+    slowest kernel per byte at 100 TB of text): per-language stopword-hit
+    counts via split -> filter(isin) -> size, then a first-max argmax
+    over the sorted language list; 'und' when nothing matches. Repeated
+    stopword tokens all count (filter, not array_intersect), matching the
+    DuckDB oracle restatement token for token. All JVM-side — the lambda
+    runs interpreted but inside the executor, never Python."""
     langs = sorted(STOPWORDS)
-    sets = [STOPWORDS[l] for l in langs]
+    toks = F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+")
+    def _hits(words: tuple[str, ...]) -> Column:
+        # single-parameter lambda: F.filter passes the element index to a
+        # second parameter, so the vocab must close over, not default-arg
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
-    @F.pandas_udf(T.StringType())
-    def lid(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            toks = (t or "").lower().split()
-            if not toks:
-                out.append("und")
-                continue
-            scores = [sum(tok in s for tok in toks) for s in sets]
-            best = int(np.argmax(scores))
-            out.append(langs[best] if scores[best] > 0 else "und")
-        return pd.Series(out)
+    scores = [_hits(tuple(sorted(STOPWORDS[l]))) for l in langs]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    pred = F.when(best == 0, F.lit("und"))
+    for lang, s in zip(langs, scores):
+        pred = pred.when(s == best, F.lit(lang))
+    return pred
 
-    return lid
+
+def lang_id_udf():
+    """Back-compat shim: language ID is now a Column expression — returns
+    the callable so existing ``lang_id_udf()(col)`` call sites keep
+    working with zero Python in the plan."""
+    return lang_id_col
 
 
 def doc_stats(df: DataFrame, text_col: str = "text", by: list[str] = ("lang",)) -> DataFrame:

@@ -1645,11 +1645,11 @@ FROM long GROUP BY 1, 2, 3
 
 
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import lang_id_udf
+    from .operators.text import lang_id_col
 
     docs = _table(spark, sf_dir, "documents")
     return (
-        docs.withColumn("pred_lang", lang_id_udf()(F.col("text")))
+        docs.withColumn("pred_lang", lang_id_col(F.col("text")))
         .groupBy("pred_lang")
         .agg(F.count("*").alias("n"))
     )
@@ -1694,10 +1694,19 @@ def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import embedding_near_dupes
 
     emb = _table(spark, sf_dir, "embeddings")
-    dupes = emb.filter(F.col("vec_id") < 20).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    # inject via a per-row explode, NOT a self-union: a Union of two scans
+    # makes every downstream re-analysis re-run the per-branch resolution
+    # checks (driver CPU on each broadcast build / AQE step); the explode
+    # keeps the universe a single linear scan
+    offsets = F.when(
+        F.col("vec_id") < 20, F.lit([0, 100000])
+    ).otherwise(F.lit([0]))
+    both = emb.select(
+        "vec_id", "embedding", "label", F.explode(offsets).alias("_off")
+    ).select(
+        (F.col("vec_id") + F.col("_off")).alias("vec_id"), "embedding", "label"
     )
-    return embedding_near_dupes(emb.unionByName(dupes), min_cosine=0.9)
+    return embedding_near_dupes(both, min_cosine=0.9)
 
 
 # Brute-force ALL-PAIRS value oracle (r4 upgrade): now that the engine's

@@ -138,7 +138,7 @@ def test_lang_id(spark):
         ],
         "text string",
     )
-    out = [r.lang for r in df.select(TX.lang_id_udf()(F.col("text")).alias("lang")).collect()]
+    out = [r.lang for r in df.select(TX.lang_id_col(F.col("text")).alias("lang")).collect()]
     assert out[0] == "en" and out[1] == "fr" and out[2] == "es" and out[3] == "und"
 
 
