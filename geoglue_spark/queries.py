@@ -966,24 +966,43 @@ SELECT event_id, CAST(rk AS INT) AS rk, admin_id FROM (
 """
 
 
-# ---------------------------------------------------------------------------
-# rows-only checks (not SQL-expressible): LSH families + image dedup
-# ---------------------------------------------------------------------------
 def q_images_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal path: decode binary image payloads in Arrow batches,
-    verify stored phash against decoded pixels, aggregate per fmt."""
+    """Multimodal decode path, per-image VALUE oracle (r4 verdict #5 —
+    this was the last rows-only query): decode binary payloads in Arrow
+    batches and emit each image's gray mean + pixel count + phash check.
+    The DuckDB oracle joins the independently-synthesized ground-truth
+    stats (image_truth fixture, computed from the raw pixels with NO
+    encode->decode round trip), so a broken decoder hash-mismatches.
+    Lossless formats (png, raw) must reproduce the truth means bit-for-
+    bit and pass the phash check on every row; the lossy 'qnt' format is
+    NULLed in both oracle-checked columns (quantization legitimately
+    shifts the mean and flips ~14 % of phashes — its decoder is pinned by
+    the pixel-exact pytest oracle in tests/test_images.py instead)."""
     from .operators.multimodal import decode_stats
 
     imgs = _images(spark).filter(F.col("image_id") < f"img{2000:012d}")
-    return (
-        decode_stats(imgs)
-        .groupBy("fmt")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("mean_px"), 4).alias("avg_mean_px"),
-            F.sum(F.when(F.col("phash_check"), 1).otherwise(0)).alias("n_phash_ok"),
-        )
+    lossless = F.col("fmt") != "qnt"
+    return decode_stats(imgs).select(
+        "image_id",
+        "fmt",
+        F.when(lossless, F.round("mean_px", 6)).otherwise(F.lit(-1.0)).alias("mean_px"),
+        (F.col("w") * F.col("h")).cast("bigint").alias("n_px"),
+        F.when(lossless, F.col("phash_check").cast("int"))
+        .otherwise(F.lit(-1))
+        .cast("int")
+        .alias("phash_ok"),
     )
+
+
+SQL_IMAGES_DECODE_STATS = """
+SELECT i.image_id, i.fmt,
+       CASE WHEN i.fmt <> 'qnt' THEN round(t.mean_px, 6) ELSE -1.0 END AS mean_px,
+       CAST(t.n_px AS BIGINT) AS n_px,
+       CAST(CASE WHEN i.fmt <> 'qnt' THEN 1 ELSE -1 END AS INT) AS phash_ok
+FROM read_parquet('{images_path}') i
+JOIN read_parquet('{truth_path}') t USING (image_id)
+WHERE i.image_id < 'img{n:012d}'
+"""
 
 
 def q_raster_zonal_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2257,6 +2276,11 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_verify": SQL_NGRAM_JACCARD_VERIFY,
         "winnow_fingerprint_stats": SQL_WINNOW_FINGERPRINT_STATS,
         "doc_quality_detail": SQL_DOC_QUALITY_DETAIL,
-        # image decode path: rows-only (binary codecs aren't SQL);
-        # pytest carries its exact oracle (tests/test_images.py)
+        # decode path value oracle: per-image stats vs the independently
+        # synthesized ground truth (no encode/decode round trip)
+        "images_decode_stats": SQL_IMAGES_DECODE_STATS.format(
+            images_path=images_parquet(N_IMAGES),
+            truth_path=image_truth_parquet(N_IMAGES),
+            n=2000,
+        ),
     }
