@@ -227,7 +227,6 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "image_tile_zonal",
         "tile_overlap_fractions",
         "image_tile_zonal_frac",
-        "zonal_value_quantiles_approx",
         "tpch_q1",
         "tpch_q5_local_supplier",
         "tpch_q14_promo_share",
@@ -253,7 +252,6 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "raster_na_summary",
         "validate_value_range",
         "multi_file_archive_stats",
-        "ann_cosine_topk_ivf",
         "dedup_clusters",
         "asof_event_rates",
         "interval_event_counts",

@@ -84,8 +84,9 @@ def _engine(spark: SparkSession):
     if key not in _CACHE:
         admins = admins_df(spark)
         cover = _pinned_cover(spark, admins, QUERY_GRID)
-        wkb = {r.admin_id: bytes(r.geometry) for r in admins.collect()}
-        admin1 = {r.admin_id: r.admin1_id for r in admins.collect()}
+        rows = admins.collect()
+        wkb = {r.admin_id: bytes(r.geometry) for r in rows}
+        admin1 = {r.admin_id: r.admin1_id for r in rows}
         _CACHE[key] = (cover, wkb, admin1)
     return _CACHE[key]
 
@@ -154,65 +155,60 @@ FROM points GROUP BY 1
 
 
 def q_zonal_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holistic zonal aggregates: EXACT median/p90 per admin (the op class
-    where map-side partials cannot collapse — whole groups shuffle)."""
+    """Holistic + sketch zonal quantiles in ONE single-shuffle aggregate
+    (r4 verdict #1 consolidation: this row now carries the driver
+    evidence for BOTH quantile paths):
+
+    - EXACT median/p90 per admin — the op class where map-side partials
+      cannot collapse, whole groups shuffle;
+    - approx_median / approx_quantile(q) — Greenwald-Khanna sketches that
+      MERGE, so they partial-aggregate map-side like algebraic ops: the
+      quantile path that survives a mega-admin at 100 TB (exact
+      percentile refuses the salted path by design).
+
+    The sketch side is oracle-able because the GK bound is deterministic:
+    with every group smaller than accuracy/2 the rank error is under half
+    a rank, so the sketch returns EXACTLY the rank-ceil(q*n) order
+    statistic (1-indexed, min 1; measured invariant across
+    partitionings) — DuckDB selects that order statistic directly."""
     out = zonal_stats(
-        _assigned(spark, sf_dir), "value", ["median", "quantile(0.9)"]
+        _assigned(spark, sf_dir),
+        "value",
+        ["median", "quantile(0.9)", "approx_median", "approx_quantile(0.9)"],
     )
     return out.select(
         "admin_id",
         F.round("median", 6).alias("median_value"),
         F.round("`quantile(0.9)`", 6).alias("p90_value"),
-    )
-
-
-SQL_ZONAL_VALUE_QUANTILES = f"""
-{_POINTS_CTE}
-SELECT {ADMIN_ID_SQL} AS admin_id,
-       round(quantile_cont(value, 0.5), 6) AS median_value,
-       round(quantile_cont(value, 0.9), 6) AS p90_value
-FROM points GROUP BY 1
-"""
-
-
-def q_zonal_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """At-scale quantiles: approx_median / approx_quantile(q) are
-    Greenwald-Khanna sketches that MERGE, so they partial-aggregate
-    map-side like algebraic ops — no whole-group shuffle, the quantile
-    path that survives a mega-admin at 100 TB (exact percentile refuses
-    the salted path by design; this is the documented alternative).
-
-    Oracle-able because the GK bound is deterministic: with every group
-    smaller than accuracy/2 the rank error is under half a rank, so the
-    sketch returns EXACTLY the rank-ceil(q*n) order statistic (1-indexed,
-    min 1; measured invariant across partitionings) — DuckDB selects that
-    order statistic directly."""
-    out = zonal_stats(
-        _assigned(spark, sf_dir),
-        "value",
-        ["approx_median", "approx_quantile(0.9)"],
-    )
-    return out.select(
-        "admin_id",
         F.round("approx_median", 6).alias("approx_median_value"),
         F.round("`approx_quantile(0.9)`", 6).alias("approx_p90_value"),
     )
 
 
-SQL_ZONAL_VALUE_QUANTILES_APPROX = f"""
+SQL_ZONAL_VALUE_QUANTILES = f"""
 {_POINTS_CTE},
 r AS (
   SELECT {ADMIN_ID_SQL} AS admin_id, value,
          row_number() OVER (PARTITION BY {ADMIN_ID_SQL} ORDER BY value) AS rk,
          count(*)     OVER (PARTITION BY {ADMIN_ID_SQL}) AS n
   FROM points WHERE value IS NOT NULL
+),
+ap AS (
+  SELECT admin_id,
+         round(max(CASE WHEN rk = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                        THEN value END), 6) AS approx_median_value,
+         round(max(CASE WHEN rk = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+                        THEN value END), 6) AS approx_p90_value
+  FROM r GROUP BY 1
+),
+ex AS (
+  SELECT {ADMIN_ID_SQL} AS admin_id,
+         round(quantile_cont(value, 0.5), 6) AS median_value,
+         round(quantile_cont(value, 0.9), 6) AS p90_value
+  FROM points GROUP BY 1
 )
-SELECT admin_id,
-       round(max(CASE WHEN rk = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
-                      THEN value END), 6) AS approx_median_value,
-       round(max(CASE WHEN rk = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
-                      THEN value END), 6) AS approx_p90_value
-FROM r GROUP BY 1
+SELECT admin_id, median_value, p90_value, approx_median_value, approx_p90_value
+FROM ex JOIN ap USING (admin_id)
 """
 
 
@@ -733,16 +729,54 @@ FROM documents GROUP BY 1
 
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token/quality summary PLUS the punct/stopword quality
+    signals (r4 verdict #1: doc_quality_detail folded in, one row of the
+    driver artifact carries both operator families) — all JVM Column
+    math, one scan, one shuffle."""
+    from .operators.text import (
+        punct_ratio_col,
+        quality_score_col,
+        stopword_ratio_col,
+        token_count_col,
+    )
+
     docs = _table(spark, sf_dir, "documents")
-    return doc_stats(docs, "text", by=["lang"])
+    t = F.col("text")
+    return (
+        docs.withColumn("_tokens", token_count_col(t))
+        .withColumn("_quality", quality_score_col(t))
+        .withColumn("_p", punct_ratio_col(t))
+        .withColumn("_s", stopword_ratio_col(t))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_tokens").alias("total_tokens"),
+            F.round(F.avg("_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("_quality"), 6).alias("avg_quality"),
+            F.round(F.avg("_p"), 6).alias("avg_punct_ratio"),
+            F.round(F.avg("_s"), 6).alias("avg_stopword_ratio"),
+        )
+    )
 
 
-SQL_DOC_TOKEN_STATS = r"""
+def _sql_doc_token_stats() -> str:
+    words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS["en"]))
+    return rf"""
 WITH t AS (
   SELECT lang,
          CASE WHEN trim(text) = '' THEN 0
               ELSE len(string_split_regex(trim(text), '\s+')) END AS tokens,
-         length(text) AS chars
+         length(text) AS chars,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text,
+                    '[.,;:!?''"()\[\]{{}}<>/\\|@#$%^&*_+=~`-]', '', 'g')))
+                   * 1.0 / length(text)
+              ELSE 0.0 END AS p,
+         CASE WHEN trim(lower(text)) = '' THEN 0.0
+              ELSE len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                   x -> list_contains([{words}], x)))
+                   * 1.0 / len(string_split_regex(trim(lower(text)), '\s+'))
+         END AS s
   FROM documents
 )
 SELECT lang,
@@ -751,9 +785,14 @@ SELECT lang,
        round(avg(tokens), 4) AS avg_tokens,
        round(avg(round(least(1.0, tokens / 50.0) *
              (CASE WHEN tokens > 0 AND chars * 1.0 / tokens BETWEEN 3 AND 10
-                   THEN 1.0 ELSE 0.5 END), 6)), 6) AS avg_quality
+                   THEN 1.0 ELSE 0.5 END), 6)), 6) AS avg_quality,
+       round(avg(p), 6) AS avg_punct_ratio,
+       round(avg(s), 6) AS avg_stopword_ratio
 FROM t GROUP BY 1
 """
+
+
+SQL_DOC_TOKEN_STATS = _sql_doc_token_stats()
 
 
 # ---------------------------------------------------------------------------
@@ -767,9 +806,38 @@ def _queries_from_embeddings(spark: SparkSession, sf_dir: str, n: int = 5):
     ]
 
 
+def _tagged_union_sql(inner: str, methods: list[str]) -> str:
+    """Oracle for a method-tagged union query: the SAME inner SQL once per
+    method literal (the engine paths must agree exactly, so one oracle
+    serves every tag — r4 verdict #1, fitting queries() under the
+    driver's 50-row artifact cap without losing per-operator evidence)."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS method, * FROM ({inner})" for m in methods
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k UNION the IVF path (method-tagged;
+    r4 verdict #1 merge of ann_cosine_topk + ann_cosine_topk_ivf): with
+    ``nprobe = n_clusters`` every cluster is probed, so IVF must EQUAL
+    the exact top-k and one brute-force oracle serves both tags. The
+    probed-cluster IN-list still reaches the at-rest scan as
+    PartitionFilters (explain_audit REQUIRE) — the fragment that makes
+    nprobe < n_clusters skip untouched directories at scale."""
+    from .operators.similarity import cosine_topk_ivf
+
     cands, qs = _queries_from_embeddings(spark, sf_dir)
-    return cosine_topk(cands, qs, k=5).select("query_id", "rank", "neighbor_id")
+    exact = cosine_topk(cands, qs, k=5).select(
+        F.lit("exact").alias("method"), "query_id", "rank", "neighbor_id"
+    )
+    path, cents = _ivf_index_path(spark, sf_dir)
+    ckey = f"ivf-index-{spark.sparkContext.applicationId}-{path}"
+    if ckey not in _CACHE:
+        _CACHE[ckey] = spark.read.parquet(path)
+    ivf = cosine_topk_ivf(
+        spark, path, cents, qs, k=5, nprobe=_IVF_CLUSTERS, index_df=_CACHE[ckey]
+    ).select(F.lit("ivf").alias("method"), "query_id", "rank", "neighbor_id")
+    return exact.unionByName(ivf)
 
 
 SQL_ANN_COSINE_TOPK = """
@@ -1506,52 +1574,6 @@ FROM events GROUP BY 1
 """
 
 
-def q_doc_quality_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language quality-signal summary: punctuation-character ratio and
-    English-stopword token ratio (the length/punct/stopword trio of
-    training-data quality scoring), all JVM Column math."""
-    from .operators.text import punct_ratio_col, stopword_ratio_col
-
-    docs = _table(spark, sf_dir, "documents")
-    return (
-        docs.withColumn("_p", punct_ratio_col(F.col("text")))
-        .withColumn("_s", stopword_ratio_col(F.col("text")))
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.round(F.avg("_p"), 6).alias("avg_punct_ratio"),
-            F.round(F.avg("_s"), 6).alias("avg_stopword_ratio"),
-        )
-    )
-
-
-def _sql_doc_quality_detail() -> str:
-    words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS["en"]))
-    return rf"""
-WITH t AS (
-  SELECT lang, text,
-         CASE WHEN length(text) > 0
-              THEN (length(text) - length(regexp_replace(text,
-                    '[.,;:!?''"()\[\]{{}}<>/\\|@#$%^&*_+=~`-]', '', 'g')))
-                   * 1.0 / length(text)
-              ELSE 0.0 END AS p,
-         CASE WHEN trim(lower(text)) = '' THEN 0.0
-              ELSE len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                                   x -> list_contains([{words}], x)))
-                   * 1.0 / len(string_split_regex(trim(lower(text)), '\s+'))
-         END AS s
-  FROM documents
-)
-SELECT lang, count(*) AS n_docs,
-       round(avg(p), 6) AS avg_punct_ratio,
-       round(avg(s), 6) AS avg_stopword_ratio
-FROM t GROUP BY 1
-"""
-
-
-SQL_DOC_QUALITY_DETAIL = _sql_doc_quality_detail()
-
-
 _WF_K, _WF_W = 5, 4
 
 
@@ -1995,10 +2017,29 @@ WHERE image_id < 'img{jpg_n:012d}'
 
 
 def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live LSH-pruned top-k UNION the at-rest signature-PARTITIONED
+    store (method-tagged; r4 verdict #1 merge of ann_cosine_topk_lsh +
+    ann_cosine_topk_indexed): the index path must return IDENTICAL rows
+    to the live query, so one DuckDB LSH restatement serves both tags.
+    At-rest probe signatures become an IN-list partition filter — only
+    probed buckets are listed/read (PartitionFilters INSET asserted by
+    explain_audit)."""
+    from .operators.similarity import cosine_topk_lsh_indexed
+
     cands, qs = _queries_from_embeddings(spark, sf_dir)
-    return cosine_topk_lsh(cands, qs, k=5, n_bits=12, probe_hamming=4).select(
-        "query_id", "rank", "neighbor_id"
+    live = cosine_topk_lsh(cands, qs, k=5, n_bits=12, probe_hamming=4).select(
+        F.lit("live").alias("method"), "query_id", "rank", "neighbor_id"
     )
+    path = _ann_index_path(spark, sf_dir)
+    # open the store once per session: listing a 2^12-directory partition
+    # tree costs a driver-side file walk per open
+    ckey = f"ann-index-{spark.sparkContext.applicationId}-{path}"
+    if ckey not in _CACHE:
+        _CACHE[ckey] = spark.read.parquet(path)
+    at_rest = cosine_topk_lsh_indexed(
+        spark, path, qs, k=5, n_bits=12, probe_hamming=4, index_df=_CACHE[ckey]
+    ).select(F.lit("at_rest").alias("method"), "query_id", "rank", "neighbor_id")
+    return live.unionByName(at_rest)
 
 
 def _sql_ann_cosine_topk_lsh(dim: int = 64, n_bits: int = 12, probe_hamming: int = 4) -> str:
@@ -2068,25 +2109,6 @@ def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def q_ann_cosine_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k against the at-rest signature-PARTITIONED store: probe
-    signatures become an IN-list partition filter, so only probed buckets
-    are listed/read (PartitionFilters INSET asserted by explain_audit).
-    Output is IDENTICAL to ann_cosine_topk_lsh — same DuckDB oracle."""
-    from .operators.similarity import cosine_topk_lsh_indexed
-
-    path = _ann_index_path(spark, sf_dir)
-    # open the store once per session: listing a 2^12-directory partition
-    # tree costs a driver-side file walk per open
-    ckey = f"ann-index-{spark.sparkContext.applicationId}-{path}"
-    if ckey not in _CACHE:
-        _CACHE[ckey] = spark.read.parquet(path)
-    _, qs = _queries_from_embeddings(spark, sf_dir)
-    return cosine_topk_lsh_indexed(
-        spark, path, qs, k=5, n_bits=12, probe_hamming=4, index_df=_CACHE[ckey]
-    ).select("query_id", "rank", "neighbor_id")
-
-
 _IVF_CLUSTERS = 16
 
 
@@ -2112,27 +2134,6 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str):
     return path, cents
 
 
-def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN against the cluster-partitioned at-rest store (r3 verdict
-    #6): with ``nprobe = n_clusters`` every cluster is probed, so the
-    result must EQUAL the exact brute-force top-k — the ann_cosine_topk
-    oracle applies verbatim (the same trick that oracle-registered the
-    LSH index in r3). The probed-cluster IN-list still reaches the scan
-    as PartitionFilters (explain_audit REQUIRE), which is the fragment
-    that makes nprobe < n_clusters skip untouched directories at scale."""
-    from .operators.similarity import cosine_topk_ivf
-
-    path, cents = _ivf_index_path(spark, sf_dir)
-    ckey = f"ivf-index-{spark.sparkContext.applicationId}-{path}"
-    if ckey not in _CACHE:
-        _CACHE[ckey] = spark.read.parquet(path)
-    _, qs = _queries_from_embeddings(spark, sf_dir)
-    out = cosine_topk_ivf(
-        spark, path, cents, qs, k=5, nprobe=_IVF_CLUSTERS, index_df=_CACHE[ckey]
-    )
-    return out.select("query_id", "rank", "neighbor_id")
-
-
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2141,7 +2142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "admin_assign_count": q_admin_assign_count,
         "zonal_value_stats": q_zonal_value_stats,
         "zonal_value_quantiles": q_zonal_value_quantiles,
-        "zonal_value_quantiles_approx": q_zonal_value_quantiles_approx,
         "admin1_rollup": q_admin1_rollup,
         "hotspot_cells_topk": q_hotspot_cells_topk,
         "images_admin_count": q_images_admin_count,
@@ -2159,9 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_stats": q_doc_dedup_stats,
         "doc_token_stats": q_doc_token_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
-        "ann_cosine_topk_indexed": q_ann_cosine_topk_indexed,
         "minhash_near_dupes": q_minhash_near_dupes,
         "simhash_near_dupes": q_simhash_near_dupes,
         "phash_dedup_pairs": q_phash_dedup_pairs,
@@ -2190,7 +2188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_stats_registry": q_daily_stats_registry,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
         "winnow_fingerprint_stats": q_winnow_fingerprint_stats,
-        "doc_quality_detail": q_doc_quality_detail,
     }
 
 
@@ -2199,7 +2196,6 @@ def oracle_sql() -> dict[str, str]:
         "admin_assign_count": SQL_ADMIN_ASSIGN_COUNT,
         "zonal_value_stats": SQL_ZONAL_VALUE_STATS,
         "zonal_value_quantiles": SQL_ZONAL_VALUE_QUANTILES,
-        "zonal_value_quantiles_approx": SQL_ZONAL_VALUE_QUANTILES_APPROX,
         "admin1_rollup": SQL_ADMIN1_ROLLUP,
         "hotspot_cells_topk": SQL_HOTSPOT_CELLS_TOPK,
         "images_admin_count": SQL_IMAGES_ADMIN_COUNT,
@@ -2213,10 +2209,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionization": SQL_SESSIONIZATION,
         "doc_dedup_stats": SQL_DOC_DEDUP_STATS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
-        "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
-        # nprobe = n_clusters makes IVF exact — the brute-force oracle
-        # applies verbatim
-        "ann_cosine_topk_ivf": SQL_ANN_COSINE_TOPK,
+        # nprobe = n_clusters makes IVF exact, so one brute-force oracle
+        # serves both method tags of the exact+IVF union
+        "ann_cosine_topk": _tagged_union_sql(SQL_ANN_COSINE_TOPK, ["exact", "ivf"]),
         "lon_normalize_hist": SQL_LON_NORMALIZE_HIST,
         "crop_bbox_count": SQL_CROP_BBOX_COUNT,
         "validate_per_slice": SQL_VALIDATE_PER_SLICE,
@@ -2236,10 +2231,11 @@ def oracle_sql() -> dict[str, str]:
         "multi_file_archive_stats": SQL_MULTI_FILE_ARCHIVE_STATS,
         "validate_value_range": SQL_VALIDATE_VALUE_RANGE,
         "concat_lineage": SQL_CONCAT_LINEAGE,
-        "ann_cosine_topk_lsh": SQL_ANN_COSINE_TOPK_LSH,
         # the at-rest index must return IDENTICAL rows to the live LSH
-        # query — the same oracle applies verbatim
-        "ann_cosine_topk_indexed": SQL_ANN_COSINE_TOPK_LSH,
+        # query — one LSH restatement serves both method tags
+        "ann_cosine_topk_lsh": _tagged_union_sql(
+            SQL_ANN_COSINE_TOPK_LSH, ["live", "at_rest"]
+        ),
         "simhash_near_dupes": SQL_SIMHASH_NEAR_DUPES,
         # brute-force all-pairs oracle over the SAME materialized fixture
         # file the Spark query scans (ensured to exist here)
@@ -2275,7 +2271,6 @@ def oracle_sql() -> dict[str, str]:
         "daily_stats_registry": SQL_DAILY_STATS_REGISTRY,
         "ngram_jaccard_verify": SQL_NGRAM_JACCARD_VERIFY,
         "winnow_fingerprint_stats": SQL_WINNOW_FINGERPRINT_STATS,
-        "doc_quality_detail": SQL_DOC_QUALITY_DETAIL,
         # decode path value oracle: per-image stats vs the independently
         # synthesized ground truth (no encode/decode round trip)
         "images_decode_stats": SQL_IMAGES_DECODE_STATS.format(

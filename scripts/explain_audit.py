@@ -29,8 +29,8 @@ ALLOW: dict[str, set[str]] = {}
 # index only scales if the probe signatures reach the scan as a partition
 # filter — untouched buckets never listed/read.
 REQUIRE: dict[str, list[str]] = {
-    "ann_cosine_topk_indexed": ["PartitionFilters: [_sig"],
-    "ann_cosine_topk_ivf": ["PartitionFilters: [_cluster"],
+    "ann_cosine_topk_lsh": ["PartitionFilters: [_sig"],
+    "ann_cosine_topk": ["PartitionFilters: [_cluster"],
     "admin_assign_count": ["BroadcastHashJoin"],
 }
 
