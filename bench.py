@@ -114,6 +114,22 @@ def run_flagship(spark, n_rows: int, reps: int = 1) -> tuple[float, int]:
 PROBE_REF_SEC = float(os.environ.get("SPARK_GRAFT_PROBE_REF", "0.93"))
 
 
+def _flagship_job(spark, n: int) -> float:
+    """One fresh-plan assignment+zonal execution at n rows — the unit of
+    both the flagship measurement and the fixed-cost steal probe."""
+    from geoglue_spark.operators.assign import assign_admin
+    from geoglue_spark.operators.zonal import zonal_stats
+    from geoglue_spark.queries import QUERY_GRID, _engine
+
+    cover, wkb, _ = _engine(spark)
+    pts = flagship_points(spark, n)
+    t0 = time.time()
+    assigned = assign_admin(pts, cover, wkb, QUERY_GRID)
+    out = zonal_stats(assigned, "value", ["count", "mean", "sum", "min", "max"])
+    _materialize(out)
+    return time.time() - t0
+
+
 def run_flagship_robust(
     spark, n_rows: int, min_clean: int = 3, max_reps: int = 15
 ) -> dict:
@@ -131,19 +147,8 @@ def run_flagship_robust(
     a silently inflated median (steal only ever inflates)."""
     import statistics
 
-    from geoglue_spark.operators.assign import assign_admin
-    from geoglue_spark.operators.zonal import zonal_stats
-    from geoglue_spark.queries import QUERY_GRID, _engine
-
-    cover, wkb, _ = _engine(spark)
-
     def one(n: int) -> float:
-        pts = flagship_points(spark, n)
-        t0 = time.time()
-        assigned = assign_admin(pts, cover, wkb, QUERY_GRID)
-        out = zonal_stats(assigned, "value", ["count", "mean", "sum", "min", "max"])
-        _materialize(out)
-        return time.time() - t0
+        return _flagship_job(spark, n)
 
     threshold = 1.25 * PROBE_REF_SEC
     probes = [one(n_rows // 10)]
@@ -258,19 +263,59 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     ]
     qs = Q.queries()
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    window = int(os.environ.get("SPARK_GRAFT_BENCH_WINDOW", "5"))
+    retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+
+    def run_chunk(chunk: list[str]) -> dict[str, float]:
+        meds = {}
+        for name in chunk:
+            samples = []
+            for _ in range(reps):
+                # fresh plan per rep (same plan object would reuse shuffle
+                # output); median damps this VM's hypervisor-steal spikes,
+                # which can inflate a single execution 3-10x
+                t0 = time.time()
+                _materialize(qs[name](spark, sf_dir))
+                samples.append(time.time() - t0)
+            samples.sort()
+            meds[name] = samples[len(samples) // 2]
+        return meds
+
+    # Probe-bracketed windows (r4 verdict #3: the per-query numbers were
+    # the only un-gated part of the artifact, which made BENCH_r04's 92.8s
+    # suite incomparable with r3's 31.3s — the same binary ran 38.3s in a
+    # calm window). Each window of queries is bracketed by the same
+    # fixed-cost probe as the flagship; a dirty window re-runs (bounded),
+    # then falls back to min-of-attempts with a per-query contaminated flag.
+    threshold = 1.25 * PROBE_REF_SEC
     times: dict[str, float] = {}
-    for name in names:
-        samples = []
-        for _ in range(reps):
-            # fresh plan per rep (same plan object would reuse shuffle
-            # output); median damps this VM's hypervisor-steal spikes,
-            # which can inflate a single execution 3-10x
-            t0 = time.time()
-            _materialize(qs[name](spark, sf_dir))
-            samples.append(time.time() - t0)
-        samples.sort()
-        times[name] = round(samples[len(samples) // 2], 3)
-    return times
+    contaminated: list[str] = []
+    probes = [_flagship_job(spark, BENCH_ROWS // 10)]
+    for i in range(0, len(names), window):
+        chunk = names[i : i + window]
+        best: dict[str, float] = {}
+        clean = False
+        for _attempt in range(retries + 1):
+            meds = run_chunk(chunk)
+            best = {k: min(v, best.get(k, v)) for k, v in meds.items()}
+            probes.append(_flagship_job(spark, BENCH_ROWS // 10))
+            if max(probes[-2], probes[-1]) <= threshold:
+                # calm window: this attempt's medians are trustworthy
+                best = meds
+                clean = True
+                break
+        if not clean:
+            # storm outlasted the retry budget: record the per-query MIN
+            # across attempts (steal only inflates) and flag honestly
+            contaminated.extend(chunk)
+        for k, v in best.items():
+            times[k] = round(v, 3)
+    meta = {
+        "probe_ref_sec": PROBE_REF_SEC,
+        "probe_sec": [round(p, 2) for p in probes],
+        "contaminated_queries": contaminated,
+    }
+    return times, meta
 
 
 def main_bench() -> None:
@@ -291,9 +336,15 @@ def main_bench() -> None:
     run_flagship(spark, BENCH_ROWS // 10, reps=2)
 
     flag = run_flagship_robust(spark, BENCH_ROWS)
-    times = bench_queries(spark, sf_dir)
+    times, suite_probe = bench_queries(spark, sf_dir)
     times["flagship_assign_zonal"] = flag["sec"]
+    fine_pre = _flagship_job(spark, BENCH_ROWS // 10)
     fine = run_fine_raster(spark)
+    fine_post = _flagship_job(spark, BENCH_ROWS // 10)
+    fine["probe_sec"] = [round(fine_pre, 2), round(fine_post, 2)]
+    fine["steal_contaminated"] = (
+        max(fine_pre, fine_post) > 1.25 * PROBE_REF_SEC
+    )
     times["raster_zonal_fine"] = fine["sec"]
     total = round(sum(times.values()), 3)
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
@@ -312,6 +363,7 @@ def main_bench() -> None:
                     for k in ("steal_contaminated", "reps_clean", "reps_total",
                               "probe_ref_sec", "probe_sec", "flag_sec")
                 },
+                "suite_probe": suite_probe,
                 "fine_raster": fine,
                 "cores": cores,
             }
