@@ -32,6 +32,26 @@ REQUIRE: dict[str, list[str]] = {
     "ann_cosine_topk_lsh": ["PartitionFilters: [_sig"],
     "ann_cosine_topk": ["PartitionFilters: [_cluster"],
     "admin_assign_count": ["BroadcastHashJoin"],
+    # r4 verdict #7: the r4 operators' scale claims, asserted in-plan.
+    # asof: tagged-union + single window carry, NOT a range join (a range
+    # join would surface as the globally-flagged BroadcastNestedLoopJoin).
+    "asof_event_rates": ["Window [last(_r"],
+    # interval: bucketed EQUI-join (BHJ on (_bkt, keys)), never a nested loop.
+    "interval_event_counts": ["BroadcastHashJoin"],
+    # connected components: the returned frame reads the localCheckpointed
+    # RDD — lineage truncated, not the full iterative join tree.
+    "dedup_clusters": ["Scan ExistingRDD"],
+}
+
+# Shuffle-count ceilings (Exchange hash/range partitioning) — stage-count
+# regressions fail the audit before they reach a benchmark: asof is ONE
+# operator exchange (window partitioning) + one for the query's right-side
+# pre-aggregation; interval is one candidate-bucket exchange + the final
+# count; the converged cluster frame re-shuffles once for its summary agg.
+MAX_SHUFFLES: dict[str, int] = {
+    "asof_event_rates": 2,
+    "interval_event_counts": 2,
+    "dedup_clusters": 1,
 }
 
 
@@ -55,6 +75,10 @@ def main() -> int:
         n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
             "Exchange rangepartitioning"
         )
+        if name in MAX_SHUFFLES and n_shuffles > MAX_SHUFFLES[name]:
+            flags.append(
+                f"shuffle count {n_shuffles} exceeds ceiling {MAX_SHUFFLES[name]}"
+            )
         n_bhj = plan.count("BroadcastHashJoin")
         n_smj = plan.count("SortMergeJoin")
         n_arrow = plan.count("ArrowEvalPython")
