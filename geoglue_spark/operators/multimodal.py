@@ -1,10 +1,12 @@
 """Multimodal column operators: decode / feature-extract / resize over
-opaque binary image payloads (input_hint schema), plus clearly-marked
-stubs for codecs absent from this container.
+opaque binary image, audio, and video payloads (input_hint schema).
 
-Everything is ``mapInPandas`` over Arrow batches: the Spark-side plumbing
-(schema, batch shape, partitioning) is real and tested; only the exotic
-codec bodies are stubbed (NotImplementedError) per the build rules.
+Everything is ``mapInPandas`` over Arrow batches. Decoders are REAL for
+png/raw/qnt/jpeg images (images.py, jpeg.py), RIFF/WAVE PCM audio and
+raw MJPEG video (av.py), and the deterministic rawpcm/rawvid test
+containers. Only compressed audio (mp3/aac/opus) and inter-frame video
+(h264/vp9/av1) lack decoders in this container; rows in those formats
+drop with the contract documented per operator.
 """
 
 from __future__ import annotations
@@ -190,25 +192,33 @@ def sample_video_frames(
     videos: DataFrame, every_n: int = 10, fmt_col: str = "fmt"
 ) -> DataFrame:
     """Frame sampling: one output row per kept frame
-    (video_id, frame_idx, w, h, frame binary, mean_px). Arrow-batched
-    mapInPandas; only the 'rawvid' fake container decodes here — real
-    codecs raise NotImplementedError (STUB: no video codec in this
-    container) and surface as dropped rows."""
+    (video_id, fmt, frame_idx, w, h, frame binary, mean_px).
+    Arrow-batched mapInPandas over two REAL containers: 'rawvid' (the
+    deterministic fake) and 'mjpeg' (raw motion-JPEG — back-to-back
+    baseline JFIF frames, decoded by the in-repo T.81 codec via av.py).
+    Inter-frame codecs (mp4/h264/vp9/av1) have no decoder in this
+    container and surface as dropped rows — that skip is the documented
+    contract, not silent data loss."""
+    from ..av import decode_mjpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
                 fmt = getattr(r, fmt_col)
-                if fmt != "rawvid":
-                    # STUB: no video codec in this container
+                if fmt == "rawvid":
+                    frames = _decode_rawvid(bytes(r.bytes))
+                elif fmt == "mjpeg":
+                    frames = decode_mjpeg(bytes(r.bytes))
+                else:
+                    # no inter-frame codec in this container: drop row
                     continue
-                frames = _decode_rawvid(bytes(r.bytes))
-                for idx in range(0, frames.shape[0], every_n):
+                for idx in range(0, len(frames), every_n):
                     fr = frames[idx]
                     out.append(
                         (
                             r.video_id,
+                            fmt,
                             int(idx),
                             int(fr.shape[1]),
                             int(fr.shape[0]),
@@ -218,50 +228,92 @@ def sample_video_frames(
                     )
             yield pd.DataFrame(
                 out,
-                columns=["video_id", "frame_idx", "w", "h", "frame", "mean_px"],
+                columns=["video_id", "fmt", "frame_idx", "w", "h", "frame", "mean_px"],
             )
 
     return videos.select("video_id", "bytes", fmt_col).mapInPandas(
         run,
-        "video_id string, frame_idx int, w int, h int, frame binary, mean_px double",
+        "video_id string, fmt string, frame_idx int, w int, h int, "
+        "frame binary, mean_px double",
     )
 
 
 def audio_features(audio: DataFrame, sample_rate: int = 16000) -> DataFrame:
-    """Per-clip audio features (duration, RMS, zero-crossing rate) from
-    16-bit little-endian PCM payloads ('rawpcm' fake container — real
-    codecs raise, see module note). The feature math is real NumPy."""
+    """Per-clip audio features (duration, RMS, zero-crossing rate) over
+    two REAL containers: 'wav' (RIFF/WAVE 16-bit PCM, decoded by av.py —
+    sample rate read from the header) and 'rawpcm' (headerless 16-bit LE
+    mono at ``sample_rate``). Multi-channel WAV mixes down (channel mean)
+    before rms/zcr. Compressed codecs (mp3/aac/opus) have no decoder in
+    this container and surface as dropped rows — the documented contract.
+    The feature math is real NumPy over Arrow batches."""
+    from ..av import decode_wav
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                if r.fmt != "rawpcm":
-                    # STUB: no audio codec in this container
+                if r.fmt == "rawpcm":
+                    pcm = np.frombuffer(bytes(r.bytes), dtype="<i2").astype(np.float64)
+                    sr = sample_rate
+                elif r.fmt == "wav":
+                    frames, sr = decode_wav(bytes(r.bytes))
+                    pcm = frames.astype(np.float64).mean(axis=1)
+                else:
+                    # no compressed-audio codec in this container: drop row
                     continue
-                pcm = np.frombuffer(bytes(r.bytes), dtype="<i2").astype(np.float64)
                 n = len(pcm)
                 rms = float(np.sqrt(np.mean(pcm**2))) if n else 0.0
                 zc = float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))) if n > 1 else 0.0
-                out.append((r.audio_id, n / sample_rate, rms, zc))
+                out.append((r.audio_id, r.fmt, int(sr), n, n / sr, rms, zc))
             yield pd.DataFrame(
-                out, columns=["audio_id", "duration_sec", "rms", "zcr"]
+                out,
+                columns=[
+                    "audio_id", "fmt", "sr", "n_samples",
+                    "duration_sec", "rms", "zcr",
+                ],
             )
 
     return audio.select("audio_id", "bytes", "fmt").mapInPandas(
-        run, "audio_id string, duration_sec double, rms double, zcr double"
+        run,
+        "audio_id string, fmt string, sr int, n_samples bigint, "
+        "duration_sec double, rms double, zcr double",
     )
 
 
-def decode_video_frames(*_args, **_kwargs):
-    """STUB: real video codecs are absent from this container — use
-    :func:`sample_video_frames`, whose Spark plumbing is real and which
-    decodes the deterministic 'rawvid' fake container."""
-    raise NotImplementedError("STUB: no video codec in this container")
+def decode_video_frames(
+    videos: DataFrame, fmt_col: str = "fmt"
+) -> DataFrame:
+    """Decode EVERY frame (sample_video_frames with every_n=1): real for
+    'rawvid' and 'mjpeg' payloads; inter-frame codecs drop (no decoder in
+    this container — see sample_video_frames)."""
+    return sample_video_frames(videos, every_n=1, fmt_col=fmt_col)
 
 
-def decode_audio(*_args, **_kwargs):
-    """STUB: real audio codecs are absent from this container — use
-    :func:`audio_features`, whose Spark plumbing is real and which reads
-    the 'rawpcm' fake container."""
-    raise NotImplementedError("STUB: no audio codec in this container")
+def decode_audio(audio: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Decode clips to canonical mono float64-mixdown PCM stored as 16-bit
+    LE bytes: (audio_id, fmt, sr, n_samples, pcm). Real for 'wav' (RIFF
+    chunk walk, header sample rate) and 'rawpcm'; compressed codecs drop
+    (no decoder in this container — see audio_features)."""
+    from ..av import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.fmt == "rawpcm":
+                    pcm = np.frombuffer(bytes(r.bytes), dtype="<i2")
+                    sr = sample_rate
+                elif r.fmt == "wav":
+                    frames, sr = decode_wav(bytes(r.bytes))
+                    pcm = np.round(frames.astype(np.float64).mean(axis=1)).astype("<i2")
+                else:
+                    continue
+                out.append((r.audio_id, r.fmt, int(sr), len(pcm), pcm.tobytes()))
+            yield pd.DataFrame(
+                out, columns=["audio_id", "fmt", "sr", "n_samples", "pcm"]
+            )
+
+    return audio.select("audio_id", "bytes", "fmt").mapInPandas(
+        run,
+        "audio_id string, fmt string, sr int, n_samples bigint, pcm binary",
+    )

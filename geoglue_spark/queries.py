@@ -44,9 +44,13 @@ from .synth import (
     ADMIN_ID_SQL,
     POINTS_FROM_EVENTS_SQL,
     admins_df,
+    audio_parquet,
+    audio_truth_parquet,
     image_truth_parquet,
     images_parquet,
     images_table,
+    video_truth_parquet,
+    videos_parquet,
 )
 
 QUERY_GRID = Grid(x0=100.0, dx=0.05, nx=200, y0=10.0, dy=0.05, ny=200)
@@ -1978,6 +1982,56 @@ FROM comp GROUP BY component
 _JPG_N = 150
 
 
+N_AUDIO, N_VIDEO = 300, 120
+
+
+def q_av_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio + video decode paths under ONE driver-gated value oracle
+    (r5: the WAV and MJPEG codecs in av.py upgraded the last two honest
+    stubs): decode RIFF/WAVE + rawpcm clips to per-clip sample count and
+    RMS, and mjpeg + rawvid containers to per-frame dimensions and gray
+    mean, all in Arrow batches. The DuckDB oracle reads the
+    independently-synthesized truth tables (computed from the raw
+    PCM/frames with NO encode round trip): PCM audio is lossless, so RMS
+    must reproduce the truth float64 bit-for-bit; frame index/dims are
+    exact for every container; the lossy MJPEG frame means use a sentinel
+    (quantization legitimately shifts them — the ≥40 dB PSNR bound lives
+    in tests/test_av.py)."""
+    from .operators.multimodal import audio_features, decode_video_frames
+
+    audio = spark.read.parquet(audio_parquet(N_AUDIO))
+    videos = spark.read.parquet(videos_parquet(N_VIDEO))
+    a = audio_features(audio).select(
+        F.col("audio_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.col("n_samples").cast("bigint").alias("n_units"),
+        F.round("rms", 6).alias("metric"),
+    )
+    v = decode_video_frames(videos).select(
+        F.concat(
+            F.col("video_id"), F.lit("#"), F.col("frame_idx").cast("string")
+        ).alias("media_id"),
+        F.lit("video").alias("kind"),
+        (F.col("w") * F.col("h")).cast("bigint").alias("n_units"),
+        F.when(F.col("fmt") == "rawvid", F.round("mean_px", 6))
+        .otherwise(F.lit(-1.0))
+        .alias("metric"),
+    )
+    return a.unionByName(v)
+
+
+SQL_AV_MEDIA_STATS = """
+SELECT audio_id AS media_id, 'audio' AS kind,
+       CAST(n_samples AS BIGINT) AS n_units, round(rms, 6) AS metric
+FROM read_parquet('{audio_truth}')
+UNION ALL
+SELECT video_id || '#' || CAST(frame_idx AS VARCHAR), 'video',
+       CAST(w * h AS BIGINT),
+       CASE WHEN fmt = 'rawvid' THEN round(mean_px, 6) ELSE -1.0 END
+FROM read_parquet('{video_truth}')
+"""
+
+
 def q_images_jpg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossy-codec gate in the driver loop (r4): a deterministic
     150-image fixture subset re-encodes through the pure-NumPy baseline
@@ -2165,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_dedup_pairs": q_phash_dedup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "images_jpg_roundtrip": q_images_jpg_roundtrip,
+        "av_media_stats": q_av_media_stats,
         "embedding_near_dupes": q_embedding_near_dupes,
         "lon_normalize_hist": q_lon_normalize_hist,
         "crop_bbox_count": q_crop_bbox_count,
@@ -2244,6 +2299,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "images_jpg_roundtrip": SQL_IMAGES_JPG_ROUNDTRIP.format(
             images_path=images_parquet(N_IMAGES), jpg_n=_JPG_N
+        ),
+        # audio/video decode oracle: truth computed from raw PCM/frames,
+        # no encode round trip (fixtures materialize here if absent)
+        "av_media_stats": SQL_AV_MEDIA_STATS.format(
+            audio_truth=audio_truth_parquet(N_AUDIO),
+            video_truth=video_truth_parquet(N_VIDEO),
         ),
         "phash_dedup_pairs": SQL_PHASH_DEDUP_PAIRS.format(
             images_path=images_parquet(N_IMAGES)

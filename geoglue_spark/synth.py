@@ -298,6 +298,156 @@ def images_parquet(n: int, root: str = "/root/repo/.cache") -> str:
     return path
 
 
+# Audio/video fixture version tag — shared by the payload parquet AND its
+# truth companion so the cached files invalidate together (same rule as
+# IMG_FIXTURE_V). Bump whenever _audio_clip / _video_frames / the encode
+# parameters change.
+AV_FIXTURE_V = "v1"
+
+
+def _audio_clip(i: int) -> tuple[np.ndarray, int]:
+    """Deterministic int16 mono PCM for clip i: a pure tone of varying
+    frequency/amplitude plus LCG noise, varying length. Returns (pcm, sr)."""
+    sr = 16000
+    n = 2000 + (i * 37) % 6000
+    freq = 100.0 + (i % 40) * 25.0
+    amp = 6000.0 + (i % 5) * 2000.0
+    t = np.arange(n, dtype=np.float64) / sr
+    noise = (((np.arange(n, dtype=np.int64) * 48271 + i * 16807 + 11) % 99991)
+             / 99991.0 - 0.5) * 800.0
+    return np.clip(amp * np.sin(2 * np.pi * freq * t) + noise,
+                   -32768, 32767).astype(np.int16), sr
+
+
+def audio_parquet(n: int, root: str = "/root/repo/.cache") -> str:
+    """Materialize the deterministic audio fixture ONCE: (audio_id, bytes,
+    fmt) with fmt cycling wav/wav/rawpcm — REAL RIFF/WAVE containers for
+    two thirds of the rows (av.py), headerless 16-bit PCM for the rest."""
+    import os
+
+    from .av import encode_wav
+
+    path = os.path.join(root, f"audio_{n}_{AV_FIXTURE_V}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(root, exist_ok=True)
+        recs = []
+        for i in range(n):
+            pcm, sr = _audio_clip(i)
+            fmt = "rawpcm" if i % 3 == 2 else "wav"
+            buf = pcm.astype("<i2").tobytes() if fmt == "rawpcm" else encode_wav(pcm, sr)
+            recs.append((f"aud{i:09d}", buf, fmt))
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pd.DataFrame(recs, columns=["audio_id", "bytes", "fmt"]).to_parquet(
+            tmp, index=False
+        )
+        os.replace(tmp, path)
+    return path
+
+
+def audio_truth_parquet(n: int, root: str = "/root/repo/.cache") -> str:
+    """Ground-truth per-clip features computed straight from the raw PCM,
+    WITHOUT the encode->store->decode round trip — PCM WAV is lossless, so
+    the engine's decoded rms/zcr/duration must reproduce these float64
+    values bit-for-bit (the audio analogue of image_truth_parquet)."""
+    import os
+
+    path = os.path.join(root, f"audio_truth_{n}_{AV_FIXTURE_V}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(root, exist_ok=True)
+        recs = []
+        for i in range(n):
+            pcm, sr = _audio_clip(i)
+            x = pcm.astype(np.float64)
+            rms = float(np.sqrt(np.mean(x**2)))
+            zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+            fmt = "rawpcm" if i % 3 == 2 else "wav"
+            recs.append((f"aud{i:09d}", fmt, len(pcm), len(pcm) / sr, rms, zcr))
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pd.DataFrame(
+            recs,
+            columns=["audio_id", "fmt", "n_samples", "duration_sec", "rms", "zcr"],
+        ).to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path
+
+
+def _video_frames(i: int) -> np.ndarray:
+    """Deterministic (n_frames, h, w) uint8 gray frames for video i: a
+    drifting gradient (every frame distinct, every video distinct)."""
+    nf = 4 + i % 9
+    w = 48 + 16 * (i % 3)
+    h = 32 + 16 * (i % 2)
+    f = np.arange(nf)[:, None, None]
+    y = np.arange(h)[None, :, None]
+    x = np.arange(w)[None, None, :]
+    return ((x * 3 + y * 5 + f * 17 + i * 29) % 256).astype(np.uint8)
+
+
+def videos_parquet(n: int, root: str = "/root/repo/.cache") -> str:
+    """Materialize the deterministic video fixture ONCE: (video_id, bytes,
+    fmt) with fmt cycling mjpeg/mjpeg/rawvid — REAL raw motion-JPEG
+    streams (back-to-back baseline JFIF frames, av.py + jpeg.py) for two
+    thirds of the rows, the length-prefixed rawvid container for the rest."""
+    import os
+
+    from .av import encode_mjpeg
+    from .operators.multimodal import encode_rawvid
+
+    path = os.path.join(root, f"videos_{n}_{AV_FIXTURE_V}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(root, exist_ok=True)
+        recs = []
+        for i in range(n):
+            frames = _video_frames(i)
+            fmt = "rawvid" if i % 3 == 2 else "mjpeg"
+            buf = (
+                encode_rawvid(frames)
+                if fmt == "rawvid"
+                else encode_mjpeg(frames, quality=95)
+            )
+            recs.append((f"vid{i:09d}", buf, fmt))
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pd.DataFrame(recs, columns=["video_id", "bytes", "fmt"]).to_parquet(
+            tmp, index=False
+        )
+        os.replace(tmp, path)
+    return path
+
+
+def video_truth_parquet(n: int, root: str = "/root/repo/.cache") -> str:
+    """Ground-truth PER-FRAME structure + pixel stats from the raw frames
+    (no encode/decode round trip): frame index and dimensions are exact
+    for EVERY container; the gray mean is exact only for the lossless
+    rawvid rows (MJPEG quantization legitimately shifts it — those rows
+    carry the PSNR bound in tests/test_av.py instead). Per-frame rather
+    than per-video so the oracle compares the IDENTICAL NumPy
+    frame.mean() computed on both sides, never a re-associated float
+    aggregate."""
+    import os
+
+    path = os.path.join(root, f"video_truth_{n}_{AV_FIXTURE_V}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(root, exist_ok=True)
+        recs = []
+        for i in range(n):
+            frames = _video_frames(i)
+            fmt = "rawvid" if i % 3 == 2 else "mjpeg"
+            for idx in range(frames.shape[0]):
+                recs.append(
+                    (
+                        f"vid{i:09d}", fmt, int(idx),
+                        int(frames.shape[2]), int(frames.shape[1]),
+                        float(frames[idx].mean()),
+                    )
+                )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pd.DataFrame(
+            recs, columns=["video_id", "fmt", "frame_idx", "w", "h", "mean_px"]
+        ).to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path
+
+
 def era5_archive_fixture(root: str = "/root/repo/.cache") -> str:
     """A three-month classic-netCDF archive named per the reference's
     DatasetPool convention (cds.py:698-704): two closed months plus a
