@@ -153,3 +153,42 @@ def decode_mjpeg(buf: bytes) -> list[np.ndarray]:
         out.append(decode_jpeg(buf[pos:end]))
         pos = end
     return out
+
+
+# ---------------------------------------------------------------------------
+# PCM resampling (rate conversion for training-pipeline normalization)
+# ---------------------------------------------------------------------------
+
+
+def resample_pcm(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear-interpolation sample-rate conversion of int16 PCM — shape
+    (n,) or (n, ch) — to ``sr_out``. Output length is
+    ``round(n * sr_out / sr_in)``; output sample k interpolates the input
+    at time ``k * sr_in / sr_out`` (first sample aligned, right edge
+    clamped). Linear interpolation is the standard cheap resampler for
+    feature pipelines (images get nearest-neighbour, audio gets linear);
+    a windowed-sinc kernel would be the fidelity upgrade, not a different
+    operator shape."""
+    pcm = np.asarray(pcm)
+    if pcm.dtype != np.int16:
+        raise ValueError(f"resample_pcm wants int16 PCM, got {pcm.dtype}")
+    if sr_in <= 0 or sr_out <= 0:
+        raise ValueError("sample rates must be positive")
+    squeeze = pcm.ndim == 1
+    if squeeze:
+        pcm = pcm[:, None]
+    n = pcm.shape[0]
+    if sr_in == sr_out or n == 0:
+        out = pcm.copy()
+        return out[:, 0] if squeeze else out
+    m = int(round(n * sr_out / sr_in))
+    t = np.arange(m, dtype=np.float64) * (sr_in / sr_out)
+    t = np.minimum(t, n - 1)
+    i0 = np.floor(t).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n - 1)
+    frac = (t - i0)[:, None]
+    x = pcm.astype(np.float64)
+    out = np.clip(np.round(x[i0] * (1.0 - frac) + x[i1] * frac), -32768, 32767).astype(
+        np.int16
+    )
+    return out[:, 0] if squeeze else out

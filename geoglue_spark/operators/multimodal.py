@@ -289,6 +289,43 @@ def decode_video_frames(
     return sample_video_frames(videos, every_n=1, fmt_col=fmt_col)
 
 
+def resample_audio(
+    audio: DataFrame, sr_out: int = 16000, sample_rate: int = 16000
+) -> DataFrame:
+    """Normalize every clip to one sample rate (the standard first step
+    of an audio training pipeline): decode ('wav'/'rawpcm', mixdown to
+    mono like decode_audio), linear-interp resample to ``sr_out`` (av.py)
+    and re-encode as WAV — so downstream operators see a single uniform
+    container. Output: (audio_id, fmt='wav', sr, n_samples, bytes).
+    Compressed codecs drop (no decoder in this container)."""
+    from ..av import decode_wav, encode_wav, resample_pcm
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.fmt == "rawpcm":
+                    pcm = np.frombuffer(bytes(r.bytes), dtype="<i2")
+                    sr = sample_rate
+                elif r.fmt == "wav":
+                    frames, sr = decode_wav(bytes(r.bytes))
+                    pcm = np.round(frames.astype(np.float64).mean(axis=1)).astype("<i2")
+                else:
+                    continue
+                res = resample_pcm(pcm, sr, sr_out)
+                out.append(
+                    (r.audio_id, "wav", sr_out, len(res), encode_wav(res, sr_out))
+                )
+            yield pd.DataFrame(
+                out, columns=["audio_id", "fmt", "sr", "n_samples", "bytes"]
+            )
+
+    return audio.select("audio_id", "bytes", "fmt").mapInPandas(
+        run,
+        "audio_id string, fmt string, sr int, n_samples bigint, bytes binary",
+    )
+
+
 def decode_audio(audio: DataFrame, sample_rate: int = 16000) -> DataFrame:
     """Decode clips to canonical mono float64-mixdown PCM stored as 16-bit
     LE bytes: (audio_id, fmt, sr, n_samples, pcm). Real for 'wav' (RIFF

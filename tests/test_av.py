@@ -208,6 +208,65 @@ def test_decode_audio_pcm_bytes(spark):
     assert (np.frombuffer(bytes(r.pcm), dtype="<i2") == pcm).all()
 
 
+def test_resample_pcm_numpy_oracle():
+    from geoglue_spark.av import resample_pcm
+
+    # identity
+    pcm = _rng(2).integers(-32768, 32768, size=64, dtype=np.int16)
+    assert (resample_pcm(pcm, 16000, 16000) == pcm).all()
+    # exact 2x upsample of a ramp: midpoints are exact averages
+    ramp = (np.arange(10, dtype=np.int16) * 100)
+    up = resample_pcm(ramp, 8000, 16000)
+    assert len(up) == 20
+    assert (up[0::2] == ramp).all()
+    assert (up[1:19:2] == (ramp[:-1] + 50)).all()
+    # 2x downsample picks every other sample (aligned first sample)
+    down = resample_pcm(up, 16000, 8000)
+    assert (down == ramp).all()
+    # length rule + clamped right edge, non-integer ratio
+    x = _rng(3).integers(-32768, 32768, size=441, dtype=np.int16)
+    y = resample_pcm(x, 44100, 16000)
+    assert len(y) == round(441 * 16000 / 44100)
+    # stereo keeps channels independent
+    st = np.stack([ramp, ramp[::-1]], axis=1).astype(np.int16)
+    both = resample_pcm(st, 8000, 16000)
+    assert (both[:, 0] == resample_pcm(ramp, 8000, 16000)).all()
+    assert (both[:, 1] == resample_pcm(ramp[::-1].copy(), 8000, 16000)).all()
+    with pytest.raises(ValueError, match="int16"):
+        resample_pcm(np.zeros(4, dtype=np.float64), 1, 2)
+    with pytest.raises(ValueError, match="positive"):
+        resample_pcm(ramp, 0, 16000)
+
+
+def test_resample_audio_operator(spark):
+    from geoglue_spark.operators.multimodal import audio_features, resample_audio
+
+    t = np.arange(32000, dtype=np.float64) / 32000.0
+    sine = (np.sin(2 * np.pi * 440 * t) * 9000).astype(np.int16)
+    df = spark.createDataFrame(
+        [
+            ("hi", encode_wav(sine, 32000), "wav"),
+            ("raw", sine[:16000].astype("<i2").tobytes(), "rawpcm"),
+            ("mp3", b"\xff\xfb\x90\x00", "mp3"),
+        ],
+        "audio_id string, bytes binary, fmt string",
+    )
+    out = resample_audio(df, sr_out=16000).toPandas().set_index("audio_id")
+    assert sorted(out.index) == ["hi", "raw"]
+    assert (out.fmt == "wav").all() and (out.sr == 16000).all()
+    assert out.loc["hi"].n_samples == 16000  # 1 s at 32 kHz -> 1 s at 16 kHz
+    # the normalized container feeds straight back into audio_features,
+    # and a pure tone keeps its zero-crossing rate across rate conversion
+    feats = audio_features(
+        spark.createDataFrame(
+            [("hi", bytes(out.loc["hi"].bytes), "wav")],
+            "audio_id string, bytes binary, fmt string",
+        )
+    ).collect()[0]
+    assert feats.sr == 16000 and feats.n_samples == 16000
+    assert abs(feats.zcr - 2 * 440 / 16000) < 0.005
+
+
 def test_av_fixture_truth_alignment():
     """The fixture payload tables and their truth companions must agree on
     ids, formats, and (losslessly) decoded content."""
