@@ -90,6 +90,7 @@ def knn_join(
     ring_batches: tuple[int, ...] = (2, 8, 40),
     assume_small: bool | None = None,
     strict: bool = False,
+    topk: str = "window",
 ) -> DataFrame:
     """k nearest centroids per point via staged cell-ring expansion.
 
@@ -110,6 +111,12 @@ def knn_join(
     The default is LAZY — constructing the plan launches no Spark job
     (r2 judge fix: the old default ran an eager ``centroids.count()``);
     callers who know the centroid count pass ``assume_small`` explicitly.
+
+    ``topk``: how a collapsed single stage ranks candidates — "window"
+    (sort-based row_number, the default: r5 probe-bracketed profiling
+    measured it ~20-40 % faster than the aggregate path on 100k points)
+    or "hashagg" (collect_list + array_sort + slice, the r3 winner on
+    narrower candidate sets; identical output either way).
 
     Return contract: a candidate found in ring r can only be beaten by ones
     in rings <= r+1, so non-final stages only emit rows proven exact by the
@@ -174,16 +181,26 @@ def knn_join(
             )
         )
         is_single_fast = (
-            len(ring_batches) == 1 and assume_small and not strict and stage == 0
+            len(ring_batches) == 1
+            and assume_small
+            and not strict
+            and stage == 0
+            and topk == "hashagg"
         )
         if is_single_fast:
             # hash-agg top-k instead of a sort-based window: collect the
             # per-point candidates into an array, sort, slice — identical
             # ranking (struct compares (dist_km, admin_id), the window's
             # orderBy) but the shuffle feeds ObjectHashAggregate instead of
-            # a full partition sort. Measured ~15-20 % faster on 100k
-            # points x ~30 candidates; only valid when no settle bound or
-            # strict proof needs _kth_dist/_n.
+            # a full partition sort. r3 measured this ~15-20 % faster on
+            # 100k points x ~30 candidates, but the r5 probe-bracketed
+            # re-profile measured the OPPOSITE (window 2.8 s vs hash-agg
+            # 3.4-4.7 s on the same workload, consistent across three
+            # bracketed rounds — collect_list's ObjectHashAggregate
+            # array churn beats the partition sort only on narrower
+            # candidate sets), so the window is now the default and this
+            # path is opt-in via ``topk="hashagg"``. Only valid when no
+            # settle bound or strict proof needs _kth_dist/_n.
             return (
                 cand.groupBy(*id_cols)
                 .agg(
