@@ -257,6 +257,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "raster_na_summary",
         "validate_value_range",
         "multi_file_archive_stats",
+        "av_media_stats",
         "dedup_clusters",
         "asof_event_rates",
         "interval_event_counts",

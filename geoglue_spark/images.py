@@ -240,6 +240,103 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# resize kernels — whole-array NumPy, no per-pixel Python
+# --------------------------------------------------------------------------
+def resize_nearest(pix: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbour resize by integer index gather (floor convention)."""
+    h, w = pix.shape[:2]
+    sy = np.arange(out_h) * h // out_h
+    sx = np.arange(out_w) * w // out_w
+    return pix[sy][:, sx]
+
+
+def resize_bilinear(pix: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Half-pixel-center bilinear resize with edge clamp (the OpenCV
+    INTER_LINEAR / align_corners=False convention). Same-size input is an
+    exact identity (all fractional weights land on 0). Gray (h, w) and
+    color (h, w, c) both supported; output rounds to uint8."""
+    h, w = pix.shape[:2]
+    a = np.asarray(pix, np.float64)
+    fy = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    fx = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0f = np.floor(fy)
+    x0f = np.floor(fx)
+    # out-of-range centers clamp both neighbours to the same edge pixel, so
+    # the (also-clamped) weight is inert there — pure edge replication
+    y0 = np.clip(y0f.astype(np.int64), 0, h - 1)
+    x0 = np.clip(x0f.astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0f.astype(np.int64) + 1, 0, h - 1)
+    x1 = np.clip(x0f.astype(np.int64) + 1, 0, w - 1)
+    wy = np.clip(fy - y0f, 0.0, 1.0).reshape(-1, 1, *([1] * (a.ndim - 2)))
+    wx = np.clip(fx - x0f, 0.0, 1.0).reshape(1, -1, *([1] * (a.ndim - 2)))
+    top = a[y0][:, x0] * (1.0 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1.0 - wx) + a[y1][:, x1] * wx
+    out = top * (1.0 - wy) + bot * wy
+    return np.rint(out).clip(0, 255).astype(np.uint8)
+
+
+def resize_area(pix: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Anti-aliased downscale by pixel binning: every source pixel
+    contributes to the destination cell its index maps into, then cells
+    average — the exact box mean whenever the factors divide evenly
+    (OpenCV INTER_AREA's integer-factor case). Upscale has empty bins, so
+    it falls back to :func:`resize_bilinear` (mirroring INTER_AREA's own
+    bilinear-like upscale behavior)."""
+    h, w = pix.shape[:2]
+    if out_w > w or out_h > h:
+        return resize_bilinear(pix, out_w, out_h)
+    a = np.asarray(pix, np.float64)
+    yi = (np.arange(h) * out_h // h).clip(0, out_h - 1)
+    xi = (np.arange(w) * out_w // w).clip(0, out_w - 1)
+    flat = (yi[:, None] * out_w + xi[None, :]).ravel()
+    cnt = np.bincount(flat, minlength=out_h * out_w).astype(np.float64)
+    if a.ndim == 2:
+        sums = np.bincount(flat, weights=a.ravel(), minlength=out_h * out_w)
+        out = (sums / cnt).reshape(out_h, out_w)
+    else:
+        out = np.stack(
+            [
+                np.bincount(flat, weights=a[..., c].ravel(), minlength=out_h * out_w)
+                / cnt
+                for c in range(a.shape[2])
+            ],
+            axis=-1,
+        ).reshape(out_h, out_w, a.shape[2])
+    return np.rint(out).clip(0, 255).astype(np.uint8)
+
+
+RESIZE_KERNELS = {
+    "nearest": resize_nearest,
+    "bilinear": resize_bilinear,
+    "area": resize_area,
+}
+
+
+def resize_letterbox(
+    pix: np.ndarray,
+    out_w: int,
+    out_h: int,
+    method: str = "bilinear",
+    pad_value: int = 0,
+) -> np.ndarray:
+    """Aspect-preserving resize into an (out_h, out_w) canvas — the
+    standard vision-model preprocessing: scale by min(out_w/w, out_h/h),
+    resize with ``method``, center on a ``pad_value`` canvas. Always
+    returns exactly (out_h, out_w[, c])."""
+    h, w = pix.shape[:2]
+    scale = min(out_w / w, out_h / h)
+    rw = max(1, min(out_w, int(round(w * scale))))
+    rh = max(1, min(out_h, int(round(h * scale))))
+    resized = RESIZE_KERNELS[method](pix, rw, rh)
+    shape = (out_h, out_w) if pix.ndim == 2 else (out_h, out_w, pix.shape[2])
+    canvas = np.full(shape, np.uint8(pad_value), np.uint8)
+    oy = (out_h - rh) // 2
+    ox = (out_w - rw) // 2
+    canvas[oy : oy + rh, ox : ox + rw] = resized
+    return canvas
+
+
+# --------------------------------------------------------------------------
 # perceptual hash + quality metrics
 # --------------------------------------------------------------------------
 def _to_gray(pixels: np.ndarray) -> np.ndarray:

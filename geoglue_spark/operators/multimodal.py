@@ -133,13 +133,39 @@ def reencode_psnr(images: DataFrame, fmt: str = "qnt") -> DataFrame:
 
 
 def resize_images(
-    images: DataFrame, out_w: int, out_h: int, out_fmt: str = "raw"
+    images: DataFrame,
+    out_w: int,
+    out_h: int,
+    out_fmt: str = "raw",
+    method: str = "bilinear",
+    letterbox: bool = False,
+    pad_value: int = 0,
 ) -> DataFrame:
-    """Decode -> nearest-neighbour resize (pure NumPy index math) ->
-    re-encode. Real end-to-end for the container-native codecs
-    (raw/png/qnt); formats needing external decoders surface as dropped
-    rows (the count is observable as input minus output)."""
-    from ..images import encode_image
+    """Decode -> resize (whole-array NumPy kernel) -> re-encode. Real
+    end-to-end for the container-native codecs (raw/png/qnt/jpeg); formats
+    needing external decoders surface as dropped rows (the count is
+    observable as input minus output).
+
+    ``method``: ``bilinear`` (half-pixel-center, the pipeline default),
+    ``area`` (anti-aliased pixel-binning downscale — the right kernel when
+    shrinking >2x, e.g. thumbnailing for an embedding model), or
+    ``nearest`` (index gather; preserves exact palette values).
+
+    ``letterbox=True`` preserves aspect ratio: scale to fit, center on a
+    ``pad_value`` canvas of exactly (out_h, out_w) — the standard
+    vision-model preprocessing shape contract."""
+    from ..images import RESIZE_KERNELS, encode_image, resize_letterbox
+
+    if method not in RESIZE_KERNELS:
+        raise ValueError(
+            f"unknown resize method {method!r}; expected one of "
+            f"{sorted(RESIZE_KERNELS)}"
+        )
+    if letterbox:
+        def kernel(pix, ow, oh):
+            return resize_letterbox(pix, ow, oh, method=method, pad_value=pad_value)
+    else:
+        kernel = RESIZE_KERNELS[method]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -149,9 +175,7 @@ def resize_images(
                     pix = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
                 except NotImplementedError:
                     continue
-                sy = (np.arange(out_h) * r.h // out_h).astype(np.int64)
-                sx = (np.arange(out_w) * r.w // out_w).astype(np.int64)
-                resized = pix[sy][:, sx]
+                resized = kernel(pix, out_w, out_h)
                 out.append(
                     (r.image_id, encode_image(resized, out_fmt), out_w, out_h, out_fmt)
                 )

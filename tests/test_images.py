@@ -90,6 +90,105 @@ def test_images_decode_invariants(spark):
         assert int(r.phash) == I.phash64(want)
 
 
+def test_resize_bilinear_identity_and_constant():
+    pix = I.synth_pixels(11, 16, 12, color=True)
+    np.testing.assert_array_equal(I.resize_bilinear(pix, 16, 12), pix)  # identity
+    const = np.full((9, 7), 137, np.uint8)
+    for fn in (I.resize_nearest, I.resize_bilinear, I.resize_area):
+        assert (fn(const, 13, 5) == 137).all()  # constants survive any kernel
+
+
+def test_resize_bilinear_matches_naive_oracle():
+    """Per-pixel double-loop oracle of the half-pixel-center convention."""
+    rng = np.random.Generator(np.random.PCG64(17))
+    pix = rng.integers(0, 256, size=(7, 11), dtype=np.uint8)
+    out_h, out_w = 5, 16
+    want = np.empty((out_h, out_w))
+    for oy in range(out_h):
+        for ox in range(out_w):
+            fy = (oy + 0.5) * (7 / out_h) - 0.5
+            fx = (ox + 0.5) * (11 / out_w) - 0.5
+            y0, x0 = int(np.floor(fy)), int(np.floor(fx))
+            wy, wx = min(max(fy - y0, 0.0), 1.0), min(max(fx - x0, 0.0), 1.0)
+            yc0, yc1 = min(max(y0, 0), 6), min(max(y0 + 1, 0), 6)
+            xc0, xc1 = min(max(x0, 0), 10), min(max(x0 + 1, 0), 10)
+            a = float(pix[yc0, xc0]) * (1 - wx) + float(pix[yc0, xc1]) * wx
+            b = float(pix[yc1, xc0]) * (1 - wx) + float(pix[yc1, xc1]) * wx
+            want[oy, ox] = a * (1 - wy) + b * wy
+    got = I.resize_bilinear(pix, out_w, out_h)
+    np.testing.assert_array_equal(got, np.rint(want).clip(0, 255).astype(np.uint8))
+
+
+def test_resize_area_exact_block_mean():
+    rng = np.random.Generator(np.random.PCG64(23))
+    pix = rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8)
+    got = I.resize_area(pix, 6, 4)  # integer factors 2x2
+    want = np.rint(
+        pix.astype(np.float64).reshape(4, 2, 6, 2, 3).mean(axis=(1, 3))
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+    # upscale falls back to bilinear (no empty-bin division)
+    np.testing.assert_array_equal(
+        I.resize_area(pix, 24, 16), I.resize_bilinear(pix, 24, 16)
+    )
+
+
+def test_resize_letterbox_geometry():
+    pix = np.full((10, 20), 200, np.uint8)  # 2:1 landscape
+    out = I.resize_letterbox(pix, 16, 16, pad_value=3)
+    assert out.shape == (16, 16)
+    # scaled to 16x8, centered vertically: rows 4..11 content, rest pad
+    assert (out[4:12] == 200).all()
+    assert (out[:4] == 3).all() and (out[12:] == 3).all()
+    # color canvas keeps channel dim; content square for portrait input
+    rgb = np.full((30, 15, 3), 90, np.uint8)
+    out3 = I.resize_letterbox(rgb, 12, 12, pad_value=0)
+    assert out3.shape == (12, 12, 3)
+    assert (out3[:, 3:9] == 90).all()
+    assert (out3[:, :3] == 0).all() and (out3[:, 9:] == 0).all()
+
+
+def test_resize_images_letterbox(spark):
+    from geoglue_spark.images import decode_image, resize_letterbox
+    from geoglue_spark.operators.multimodal import resize_images
+    from geoglue_spark.synth import images_table
+
+    imgs = images_table(spark, 8)
+    src = {
+        r.image_id: decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
+        for r in imgs.collect()
+    }
+    out = resize_images(
+        imgs, 10, 10, out_fmt="raw", letterbox=True, pad_value=5
+    ).collect()
+    assert len(out) == 8
+    for r in out:
+        got = decode_image(bytes(r.bytes), 10, 10, "raw")
+        np.testing.assert_array_equal(
+            got, resize_letterbox(src[r.image_id], 10, 10, pad_value=5)
+        )
+
+
+def test_resize_images_methods(spark):
+    from geoglue_spark.images import RESIZE_KERNELS, decode_image
+    from geoglue_spark.operators.multimodal import resize_images
+    from geoglue_spark.synth import images_table
+
+    imgs = images_table(spark, 12)
+    src = {
+        r.image_id: decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
+        for r in imgs.collect()
+    }
+    for method, kernel in RESIZE_KERNELS.items():
+        out = resize_images(imgs, 6, 5, out_fmt="raw", method=method).collect()
+        assert len(out) == 12
+        for r in out:
+            got = decode_image(bytes(r.bytes), 6, 5, "raw")
+            np.testing.assert_array_equal(got, kernel(src[r.image_id], 6, 5))
+    with pytest.raises(ValueError, match="unknown resize method"):
+        resize_images(imgs, 6, 5, method="lanczos")
+
+
 def test_resize_images(spark):
     from geoglue_spark.images import decode_image
     from geoglue_spark.operators.multimodal import resize_images

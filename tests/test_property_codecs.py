@@ -192,3 +192,50 @@ def test_jpeg_round_trip_property(seed, h, w, color, quality):
     # near-lossless limit: q100 quant tables are all-ones scale
     back100 = decode_jpeg(encode_jpeg(img, quality=100, subsampling="444"))
     assert psnr(img, back100) >= 45.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 32),
+    w=st.integers(1, 32),
+    oh=st.integers(1, 48),
+    ow=st.integers(1, 48),
+    color=st.booleans(),
+    method=st.sampled_from(["nearest", "bilinear", "area"]),
+)
+def test_resize_kernel_properties(seed, h, w, oh, ow, color, method):
+    """Any kernel, any shape pair: output dtype/shape exact, values stay
+    inside the input's [min, max] envelope (all three kernels are convex
+    combinations of input pixels, up to uint8 rounding), and a constant
+    image stays constant."""
+    from geoglue_spark.images import RESIZE_KERNELS
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = RESIZE_KERNELS[method](img, ow, oh)
+    assert out.dtype == np.uint8
+    assert out.shape == ((oh, ow, 3) if color else (oh, ow))
+    assert out.min() >= img.min() and out.max() <= img.max()
+    const = np.full(shape, 91, np.uint8)
+    assert (RESIZE_KERNELS[method](const, ow, oh) == 91).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    oh=st.integers(1, 16),
+    ow=st.integers(1, 16),
+    fy=st.integers(1, 4),
+    fx=st.integers(1, 4),
+)
+def test_resize_area_integer_factor_is_exact_block_mean(seed, oh, ow, fy, fx):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    img = rng.integers(0, 256, (oh * fy, ow * fx), dtype=np.uint8)
+    from geoglue_spark.images import resize_area
+
+    want = np.rint(
+        img.astype(np.float64).reshape(oh, fy, ow, fx).mean(axis=(1, 3))
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(resize_area(img, ow, oh), want)
