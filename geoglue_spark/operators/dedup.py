@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import weakref
+from typing import Iterator
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -539,6 +540,50 @@ def simhash_near_dupes(
 # --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
+def _embedding_exact_pairs(
+    df: DataFrame, vecs: DataFrame, id_col: str, min_cosine: float
+) -> DataFrame:
+    """Brute-force all-pairs cosine in ONE task — the small-n strategy
+    (guarded by ``exact_max_n``; never chosen at scale). All vectors
+    coalesce into a single partition (one round-robin exchange of
+    n x dim floats), the task builds the normalized gram matrix with one
+    BLAS call, and only the >= min_cosine upper triangle leaves Python.
+    Float math matches the LSH verify kernel (float64 normalize + dot,
+    round 6), so either strategy reproduces the DuckDB all-pairs oracle."""
+    import pandas as pd
+
+    from .similarity import _normalize, _stack_vectors
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_parts, mat_parts = [], []
+        for pdf in batches:
+            if len(pdf):
+                ids_parts.append(pdf["_id"].to_numpy())
+                mat_parts.append(_stack_vectors(pdf["_v"]))
+        if not ids_parts:
+            return
+        ids = np.concatenate(ids_parts)
+        m = _normalize(np.vstack(mat_parts))
+        gram = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cos = np.round(gram[iu, ju], 6)
+        keep = (cos >= min_cosine) & (ids[iu] != ids[ju])
+        a, b, cos = ids[iu[keep]], ids[ju[keep]], cos[keep]
+        swap = a > b  # canonical a < b by VALUE, not row order
+        yield pd.DataFrame(
+            {
+                "id_a": np.where(swap, b, a),
+                "id_b": np.where(swap, a, b),
+                "cosine": cos,
+            }
+        )
+
+    return vecs.repartition(1).mapInPandas(run, schema)
+
+
 def embedding_near_dupes(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -547,13 +592,27 @@ def embedding_near_dupes(
     n_bits: int = 12,
     band_hamming: int = 2,
     broadcast_threshold: int = 2_000_000,
+    strategy: str = "auto",
+    exact_max_n: int = 4096,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
-    Candidate generation via random-hyperplane signatures (same family as
-    similarity.cosine_topk_lsh): pairs whose signatures differ in
-    <= band_hamming bits are scored exactly; never all-pairs. Output
-    (id_a, id_b, cosine) canonicalized a < b.
+    Two physical strategies, picked by measured size (``strategy="auto"``,
+    the FAISS flat-vs-IVF pattern):
+
+    * ``exact`` (n <= ``exact_max_n``): ONE single-partition gram-matrix
+      task — at 4,096 x 64-dim that is ~1 GFLOP and a 134 MB triangle,
+      far below a task's budget, and the whole query is one tiny
+      round-robin exchange + one Arrow stage. Below this size the LSH
+      pipeline's fixed stage latency (signature materialization, probe
+      fan-out, broadcast builds) costs more than simply scoring every
+      pair; recall is exactly 1.0 by construction.
+    * ``lsh`` (above): candidate generation via random-hyperplane
+      signatures (same family as similarity.cosine_topk_lsh) — pairs
+      whose signatures differ in <= band_hamming bits are scored exactly;
+      never all-pairs at scale.
+
+    Output (id_a, id_b, cosine) canonicalized a < b for both strategies.
 
     Probe radius: at min_cosine 0.9 the expected signature distance between
     a true pair is n_bits * acos(0.9)/pi ~ 1.7 bits (12 bits), so radius 1
@@ -591,20 +650,39 @@ def embedding_near_dupes(
     """
     from .similarity import hyperplane_signature_udf
 
+    if strategy not in ("auto", "exact", "lsh"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}; expected auto/exact/lsh"
+        )
+    # the vector frame is THE shared input of both strategies: cached
+    # (scope-managed) and counted once — the count both materializes the
+    # cache and picks the strategy; memoized per cached frame so repeat
+    # construction over the same input stays job-free
+    vecs_cached = _scoped_cache(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        "embedding_vecs",
+    )
+    n_vec = _SIG_COUNTS.get(vecs_cached)
+    if n_vec is None:
+        n_vec = vecs_cached.count()
+        _SIG_COUNTS[vecs_cached] = n_vec
+    if strategy == "auto":
+        strategy = "exact" if n_vec <= exact_max_n else "lsh"
+    if strategy == "exact":
+        return _embedding_exact_pairs(df, vecs_cached, id_col, min_cosine)
+
     sig = hyperplane_signature_udf(None, n_bits)  # dim read from the data
-    # cached (scope-managed): both join sides read it, and the rows are
-    # 16 bytes each — without the cache the signature UDF runs twice
+    # signatures read the in-memory vector cache, not a second source
+    # scan; cached themselves because both join sides reference them and
+    # the rows are 16 bytes each. Materialized BEFORE the 79x probe
+    # fan-out references it twice (pre-fix, both references raced to fill
+    # it lazily).
     with_sig = _scoped_cache(
-        df.select(F.col(id_col).alias("_id"), sig(F.col(vec_col)).alias("_sig")),
+        vecs_cached.select("_id", sig(F.col("_v")).alias("_sig")),
         "embedding",
     )
-    # materialize the cache BEFORE the 79x probe fan-out references it
-    # twice (pre-fix, both references raced to fill it lazily), and learn
-    # n to pick broadcast vs shuffle joins; memoized per cached frame so
-    # repeat construction over the same input stays job-free
-    n_vec = _SIG_COUNTS.get(with_sig)
-    if n_vec is None:
-        n_vec = with_sig.count()
+    if _SIG_COUNTS.get(with_sig) is None:
+        with_sig.count()
         _SIG_COUNTS[with_sig] = n_vec
     small = n_vec <= broadcast_threshold
     # multiprobe equi-join (scales, unlike a non-equi self-join): the LEFT
@@ -643,10 +721,13 @@ def embedding_near_dupes(
         b_side,
         (F.col("a._probe") == F.col("b._sig")) & (F.col("a._id") < F.col("b._id")),
     ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-    # vectors enter the join ONLY here, at candidate-pair volume. Both
+    # vectors enter the join ONLY here, at candidate-pair volume, read
+    # from the SAME in-memory cache the signatures came from. Both
     # re-joins reference the SAME child plan (aliased, not re-projected),
     # so ReuseExchange builds the vector broadcast once for the two BHJs.
-    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"))
+    vecs = vecs_cached.select(
+        F.col("_id").alias("_vid"), F.col("_v").alias("_vv")
+    )
     v1 = F.broadcast(vecs.alias("v1")) if small else vecs.alias("v1")
     v2 = F.broadcast(vecs.alias("v2")) if small else vecs.alias("v2")
     cand = (

@@ -106,7 +106,9 @@ def test_embedding_near_dupes_nonexact_cosine(spark):
         vecs = list(base) + [tgt * 3.0]
         rows = [(i, [float(x) for x in w]) for i, w in enumerate(vecs)]
         df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-        pairs = D.embedding_near_dupes(df, min_cosine=0.9).toPandas()
+        # strategy pinned to lsh: auto would pick the exact path at this n
+        # and recall 1.0 trivially — this test exists to pin MULTIPROBE
+        pairs = D.embedding_near_dupes(df, min_cosine=0.9, strategy="lsh").toPandas()
         if (0, 30) in set(map(tuple, pairs[["id_a", "id_b"]].values)):
             found += 1
     assert found >= 6, f"recall too low: {found}/{n_trials}"
@@ -284,7 +286,7 @@ def test_embedding_near_dupes_shuffle_free_plan(spark):
         [(i, [float(i), 1.0, 0.0]) for i in range(8)],
         "vec_id long, embedding array<float>",
     )
-    out = D.embedding_near_dupes(emb, min_cosine=0.9)
+    out = D.embedding_near_dupes(emb, min_cosine=0.9, strategy="lsh")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 0
     assert plan.count("BroadcastHashJoin") >= 3
@@ -295,9 +297,48 @@ def test_embedding_near_dupes_shuffle_free_plan(spark):
         [(i, [1.0, 2.0, 3.0]) for i in range(4)],
         "vec_id long, embedding array<float>",
     )
-    pairs = D.embedding_near_dupes(same, min_cosine=0.9).collect()
+    pairs = D.embedding_near_dupes(same, min_cosine=0.9, strategy="lsh").collect()
     keys = [(r.id_a, r.id_b) for r in pairs]
     assert sorted(keys) == sorted(set(keys)) and len(keys) == 6
+
+
+def test_embedding_exact_strategy_plan_and_parity(spark):
+    """Auto picks the single-task gram-matrix path below exact_max_n: the
+    plan has NO joins and exactly one exchange (the coalescing
+    repartition); pair output is value-identical to the LSH strategy on
+    the same input (superset recall is impossible to see here — every
+    true pair is within multiprobe radius by construction)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(29))
+    base = rng.standard_normal((40, 16))
+    vecs = list(base) + [base[3], base[7] + rng.standard_normal(16) * 0.005]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = D.embedding_near_dupes(df, min_cosine=0.98)  # auto -> exact
+    plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange") == 1  # the single-partition coalesce
+
+    got_exact = {
+        (r.id_a, r.id_b, r.cosine) for r in exact.collect()
+    }
+    got_lsh = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in D.embedding_near_dupes(
+            df, min_cosine=0.98, strategy="lsh"
+        ).collect()
+    }
+    assert got_exact == got_lsh
+    assert any(a == 3 and c == 1.0 for a, _, c in got_exact)
+    # forcing exact above the guard is an explicit choice, never automatic
+    forced = D.embedding_near_dupes(
+        df, min_cosine=0.98, strategy="exact", exact_max_n=1
+    )
+    assert {(r.id_a, r.id_b) for r in forced.collect()} == {
+        (a, b) for a, b, _ in got_exact
+    }
 
 
 def test_signature_caches_released_across_calls(spark, docs):
