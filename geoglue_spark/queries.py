@@ -2001,13 +2001,18 @@ def q_av_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     audio = spark.read.parquet(audio_parquet(N_AUDIO))
     videos = spark.read.parquet(videos_parquet(N_VIDEO))
+    # the fixtures are ONE row group each, so scan parallelism is 1 task;
+    # row-redistribute the CPU-bound frame decode (measured 5x at 16
+    # threads). Audio decode is sub-second single-task — not worth the
+    # extra shuffle.
+    par = spark.sparkContext.defaultParallelism
     a = audio_features(audio).select(
         F.col("audio_id").alias("media_id"),
         F.lit("audio").alias("kind"),
         F.col("n_samples").cast("bigint").alias("n_units"),
         F.round("rms", 6).alias("metric"),
     )
-    v = decode_video_frames(videos).select(
+    v = decode_video_frames(videos, parallelism=par).select(
         F.concat(
             F.col("video_id"), F.lit("#"), F.col("frame_idx").cast("string")
         ).alias("media_id"),
