@@ -116,6 +116,7 @@ def winnow_fingerprints(
     out_col: str = "fingerprints",
     grouped: bool = True,
     carry: tuple = (),
+    distinct: bool = True,
 ) -> DataFrame:
     """Winnowing fingerprints as a DataFrame op, scale-shaped: shingle keys
     posexplode to rows (md5 evaluated ONCE per shingle, whole-stage
@@ -166,9 +167,12 @@ def winnow_fingerprints(
         .filter(F.col("_pos") <= F.greatest(F.lit(0), F.col("_n") - window))
     )
     if not grouped:
-        return mins.select(
-            id_col, *carry, F.col("_wmin").alias(out_col)
-        ).distinct()
+        out = mins.select(id_col, *carry, F.col("_wmin").alias(out_col))
+        # distinct=False hands BACK the raw window minima (repeats and
+        # all) for callers whose downstream aggregate dedups anyway —
+        # count_distinct partial-aggregates map-side, so skipping the
+        # eager distinct removes one full-width shuffle from the plan
+        return out.distinct() if distinct else out
     return mins.groupBy(id_col, *carry).agg(
         F.array_sort(F.collect_set("_wmin")).alias(out_col)
     )

@@ -1587,20 +1587,24 @@ def q_winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import winnow_fingerprints
 
     docs = _table(spark, sf_dir, "documents")
-    # grouped=False + carry (r4): one row per distinct (doc, fingerprint)
-    # with source carried through — drops the collect_set shuffle, the
-    # re-join against documents, and the array re-explode from the plan
+    # grouped=False + carry (r4): one row per (doc, fingerprint) with
+    # source carried through — drops the collect_set shuffle, the re-join
+    # against documents, and the array re-explode from the plan.
+    # distinct=False (r5): the final aggregate's count_distincts dedup
+    # map-side under Expand, so the eager pre-distinct was a second
+    # full-width shuffle for nothing — the whole query is now ONE
+    # doc-keyed window shuffle plus one source-keyed agg.
     fp = winnow_fingerprints(
         docs, "text", "doc_id", _WF_K, _WF_W, out_col="_f",
-        grouped=False, carry=("source",),
+        grouped=False, carry=("source",), distinct=False,
     )
     return (
         fp.groupBy("source")
         .agg(
             F.count_distinct("_f").alias("n_distinct_fp"),
-            F.round(F.sum(F.lit(1.0)) / F.count_distinct("_f"), 6).alias(
-                "fp_reuse_ratio"
-            ),
+            F.round(
+                F.count_distinct("doc_id", "_f") / F.count_distinct("_f"), 6
+            ).alias("fp_reuse_ratio"),
         )
     )
 
