@@ -311,10 +311,58 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             contaminated.extend(chunk)
         for k, v in best.items():
             times[k] = round(v, 3)
+    # Per-QUERY re-bracket for the heavy tail (r5): a window of 5 queries
+    # x reps runs 30-60 s, and a steal burst shorter than that slips
+    # BETWEEN the window's bracketing probes — observed: a 1.3-2.3 s
+    # steady-state query recorded 6.7 s inside an unflagged window. Any
+    # query whose recorded median exceeds the threshold re-measures
+    # individually with flagship-grade per-rep bracketing; a clean-
+    # bracketed sample replaces the windowed number (min of cleans —
+    # steal only ever inflates).
+    # CAVEAT this pass also guards against (diagnosed by jstack, r5): this
+    # VM intermittently stalls PYTHON-STAGE executions 4-16 s with the
+    # executor thread parked in PythonRunner's reader epoll — the worker
+    # side of the pipe goes silent while /proc/stat steal reads ~0 and
+    # trivial JVM jobs stay sub-second. ~1/3 of sub-second Arrow-stage
+    # jobs are hit, so a "clean-probe" sample can STILL carry a stall.
+    # Therefore the recorded value is the MIN across windowed + rebracket
+    # samples (stalls and steal only ever inflate), and a query is
+    # un-flagged only when a clean-bracketed sample corroborates that min
+    # within 1.5x.
+    rebracket_sec = float(os.environ.get("SPARK_GRAFT_BENCH_REBRACKET_SEC", "2.5"))
+    threshold = 1.25 * PROBE_REF_SEC
+    rebracketed: dict[str, dict] = {}
+    for name in [n for n in names if times.get(n, 0.0) > rebracket_sec]:
+        samples: list[float] = []
+        cleans: list[float] = []
+        for _ in range(4):
+            p0 = _flagship_job(spark, BENCH_ROWS // 10)
+            t0 = time.time()
+            _materialize(qs[name](spark, sf_dir))
+            dt = time.time() - t0
+            p1 = _flagship_job(spark, BENCH_ROWS // 10)
+            probes.extend([p0, p1])
+            samples.append(dt)
+            if max(p0, p1) <= threshold:
+                cleans.append(dt)
+                if len(cleans) >= 2:
+                    break
+        best = min([times[name]] + samples)
+        times[name] = round(best, 3)
+        corroborated = bool(cleans) and min(cleans) <= 1.5 * best
+        if corroborated and name in contaminated:
+            contaminated.remove(name)
+        if not corroborated and name not in contaminated:
+            contaminated.append(name)
+        rebracketed[name] = {
+            "samples": [round(s, 2) for s in samples],
+            "clean": len(cleans),
+        }
     meta = {
         "probe_ref_sec": PROBE_REF_SEC,
         "probe_sec": [round(p, 2) for p in probes],
         "contaminated_queries": contaminated,
+        "rebracketed": rebracketed,
     }
     return times, meta
 
