@@ -178,6 +178,206 @@ def winnow_fingerprints(
     )
 
 
+def dup_line_frac_col(text: Column) -> Column:
+    """Fraction of non-blank lines that are duplicates of an earlier line
+    (Gopher repetition rule family, Rae et al. 2021 §A1.1): 1 −
+    distinct/total over trimmed non-empty lines. Pure JVM array math;
+    0.0 for docs with no non-blank lines."""
+    lines = F.filter(
+        F.transform(F.split(F.coalesce(text, F.lit("")), r"\n"), F.trim),
+        lambda l: l != "",
+    )
+    n = F.size(lines).cast("double")
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(lines))) / n
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_char_frac_col(text: Column) -> Column:
+    """Fraction of CHARACTERS sitting in duplicated non-blank lines (the
+    char-weighted Gopher variant — boilerplate lines are often long, so
+    char weighting catches what line counting misses). Per-line occurrence
+    counts via a bounded O(L²) higher-order filter — L is lines-per-doc
+    (tens), so the work per document is constant-bounded and never
+    shuffles; all JVM-side."""
+    lines = F.filter(
+        F.transform(F.split(F.coalesce(text, F.lit("")), r"\n"), F.trim),
+        lambda l: l != "",
+    )
+    total = F.aggregate(
+        lines, F.lit(0), lambda acc, l: acc + F.length(l)
+    ).cast("double")
+    dup_chars = F.aggregate(
+        F.filter(
+            lines, lambda l: F.size(F.filter(lines, lambda x: x == l)) > 1
+        ),
+        F.lit(0),
+        lambda acc, l: acc + F.length(l),
+    ).cast("double")
+    return F.when(total > 0, dup_chars / total).otherwise(F.lit(0.0))
+
+
+def top_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    carry: tuple = (),
+) -> DataFrame:
+    """Per-document most-frequent word n-gram and the fraction of
+    characters it covers (Gopher 'top n-gram fraction' rule): explode
+    n-grams to rows, two-level aggregate — (doc, gram) counts partial-
+    aggregate map-side, then a per-doc max_by picks the mode. Scale shape:
+    two doc-keyed shuffles, no per-doc quadratic work, no Python — the
+    form that survives million-token documents where a per-row
+    higher-order mode scan would be O(tokens²).
+
+    Output: (id_col, *carry, top_ngram, top_ngram_count,
+    top_ngram_char_frac). Ties break to the lexicographically smallest
+    gram so results are deterministic under any partitioning."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.when(
+        (F.trim(F.col(text_col)) == "") | (F.size(toks) < n), F.array()
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    ex = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.length(F.col(text_col)).alias("_chars"),
+        F.explode(grams).alias("_g"),
+    )
+    counts = ex.groupBy(id_col, *carry, "_chars", "_g").agg(
+        F.count("*").alias("_cnt")
+    )
+    # "count desc, gram asc" mode over the COMPACTED (doc, gram) rows:
+    # one row_number window keyed by doc. Partition size = distinct grams
+    # per doc (already collapsed by the map-side-combining count), so the
+    # window never sees raw token volume even for mega-documents.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.col("_cnt").desc(), F.col("_g").asc())
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return top.select(
+        id_col,
+        *carry,
+        F.col("_g").alias("top_ngram"),
+        F.col("_cnt").alias("top_ngram_count"),
+        F.round(
+            F.when(
+                F.col("_chars") > 0,
+                F.col("_cnt") * F.length("_g") / F.col("_chars"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_ngram_char_frac"),
+    )
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+    broadcast_benchmark: bool = True,
+    carry: tuple = (),
+) -> DataFrame:
+    """Benchmark-contamination check: for every training document, how
+    many of its word ``n``-grams also appear in the benchmark/eval set
+    (the standard 13-gram decontamination rule, GPT-3 appendix C /
+    Dolma). Grams are xxhash64'd JVM-side, the benchmark's distinct gram
+    hashes become the build side of ONE equi-join (broadcast by default —
+    eval sets are tiny next to a training corpus), and a single left-join
+    + groupBy emits per-doc totals: no all-pairs text comparison, shuffle
+    volume tracks distinct (doc, gram) rows only.
+
+    Output: (id_col, *carry, n_grams, n_overlap, contaminated_frac).
+    Documents shorter than ``n`` tokens have n_grams = 0 and frac 0.0.
+    """
+    def gram_hashes(text: Column) -> Column:
+        toks = F.split(F.trim(F.lower(text)), r"\s+")
+        return F.when(
+            (F.trim(text) == "") | (F.size(toks) < n), F.array()
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")),
+            )
+        )
+
+    bench = (
+        benchmark.select(
+            F.explode(gram_hashes(F.col(bench_text_col))).alias("_h")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    # outer explode keeps gram-less docs (explode_outer emits one NULL row)
+    ex = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.explode_outer(
+            F.array_distinct(gram_hashes(F.col(text_col)))
+        ).alias("_h"),
+    )
+    joined = ex.join(bench, "_h", "left")
+    out = joined.groupBy(id_col, *carry).agg(
+        F.count("_h").alias("n_grams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_overlap"),
+    )
+    return out.select(
+        id_col,
+        *carry,
+        "n_grams",
+        "n_overlap",
+        F.round(
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_overlap") / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("contaminated_frac"),
+    )
+
+
+# PII patterns (public regex shapes; conservative on purpose — a scrubber
+# wants recall on obvious identifiers, not RFC-complete address parsing)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(?:\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def pii_counts_col(text: Column, kind: str) -> Column:
+    """Occurrence count of one PII pattern family — JVM regexp_count."""
+    return F.regexp_count(
+        F.coalesce(text, F.lit("")), F.lit(PII_PATTERNS[kind])
+    )
+
+
+def redact_pii(
+    text: Column, kinds: tuple[str, ...] = ("email", "phone", "ipv4"),
+    token: str = "[PII]",
+) -> Column:
+    """Replace every PII match with ``token`` — chained JVM
+    regexp_replace, no Python. Order follows ``kinds`` so e.g. emails are
+    consumed before the looser phone pattern can bite their digits."""
+    out = F.coalesce(text, F.lit(""))
+    for k in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[k], token)
+    return out
+
+
 def lang_id_col(text: Column) -> Column:
     """Heuristic language ID as a pure Column expression (r4 verdict #4:
     the former pandas-UDF version looped over rows in Python — the

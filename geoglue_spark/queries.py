@@ -719,16 +719,78 @@ FROM g GROUP BY 1
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
 def q_doc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup per-source stats PLUS the benchmark-contamination
+    family (r5): every 41st document stands in as the held-out eval set,
+    `contamination_overlap` counts 3-gram hash overlap per doc (ONE
+    broadcast equi-join — no all-pairs text comparison), and the
+    per-source averages broadcast-join back onto the dedup row."""
+    from .operators.text import contamination_overlap
+
     docs = _table(spark, sf_dir, "documents")
-    return exact_dedup_stats(docs, "text", by=["source"])
+    base = exact_dedup_stats(docs, "text", by=["source"])
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select("text")
+    cont = (
+        contamination_overlap(docs, bench, n=3, carry=("source",))
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("contaminated_frac"), 6).alias(
+                "avg_contaminated_frac"
+            ),
+            F.sum(
+                (F.col("contaminated_frac") >= 0.5).cast("long")
+            ).alias("n_contaminated_docs"),
+        )
+    )
+    return base.join(F.broadcast(cont), "source", "left")
 
 
-SQL_DOC_DEDUP_STATS = """
-SELECT source,
-       count(*) AS n_docs,
-       count(DISTINCT md5(text)) AS n_distinct,
-       count(*) - count(DISTINCT md5(text)) AS n_dupes
-FROM documents GROUP BY 1
+SQL_DOC_DEDUP_STATS = r"""
+WITH base AS (
+  SELECT source,
+         count(*) AS n_docs,
+         count(DISTINCT md5(text)) AS n_distinct,
+         count(*) - count(DISTINCT md5(text)) AS n_dupes
+  FROM documents GROUP BY 1
+),
+tk AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+-- per-doc DISTINCT 3-grams (the operator array_distincts before explode)
+g AS (
+  SELECT doc_id, source,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                               FOR i IN range(1, len(t) - 1)])) AS g
+  FROM tk WHERE len(t) >= 3
+),
+bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 41 = 0),
+pd AS (
+  SELECT d.doc_id, d.source,
+         coalesce(x.n_grams, 0) AS n_grams,
+         coalesce(x.n_overlap, 0) AS n_overlap
+  FROM documents d
+  LEFT JOIN (
+    SELECT g.doc_id, count(*) AS n_grams,
+           sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+    FROM g LEFT JOIN bg ON g.g = bg.g GROUP BY 1
+  ) x USING (doc_id)
+),
+fr AS (
+  SELECT source,
+         CASE WHEN n_grams > 0
+              THEN round(n_overlap * 1.0 / n_grams, 6) ELSE 0.0 END AS f
+  FROM pd
+),
+cont AS (
+  SELECT source,
+         round(avg(f), 6) AS avg_contaminated_frac,
+         CAST(sum(CASE WHEN f >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated_docs
+  FROM fr GROUP BY 1
+)
+SELECT base.*, cont.avg_contaminated_frac, cont.n_contaminated_docs
+FROM base LEFT JOIN cont USING (source)
 """
 
 
@@ -736,17 +798,21 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token/quality summary PLUS the punct/stopword quality
     signals (r4 verdict #1: doc_quality_detail folded in, one row of the
     driver artifact carries both operator families) — all JVM Column
-    math, one scan, one shuffle."""
+    math, one scan, one shuffle. r5: the Gopher-style repetition family
+    joins the row — avg fraction of characters covered by each doc's most
+    frequent word 2-gram (`top_ngram_stats`), per-lang aggregated and
+    broadcast-joined back (a 5-row dim join, no extra fact shuffle)."""
     from .operators.text import (
         punct_ratio_col,
         quality_score_col,
         stopword_ratio_col,
         token_count_col,
+        top_ngram_stats,
     )
 
     docs = _table(spark, sf_dir, "documents")
     t = F.col("text")
-    return (
+    base = (
         docs.withColumn("_tokens", token_count_col(t))
         .withColumn("_quality", quality_score_col(t))
         .withColumn("_p", punct_ratio_col(t))
@@ -761,6 +827,12 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("_s"), 6).alias("avg_stopword_ratio"),
         )
     )
+    rep = (
+        top_ngram_stats(docs, "text", "doc_id", n=2, carry=("lang",))
+        .groupBy("lang")
+        .agg(F.round(F.avg("top_ngram_char_frac"), 6).alias("avg_top2gram_frac"))
+    )
+    return base.join(F.broadcast(rep), "lang", "left")
 
 
 def _sql_doc_token_stats() -> str:
@@ -782,17 +854,45 @@ WITH t AS (
                    * 1.0 / len(string_split_regex(trim(lower(text)), '\s+'))
          END AS s
   FROM documents
+),
+base AS (
+  SELECT lang,
+         count(*) AS n_docs,
+         CAST(sum(tokens) AS BIGINT) AS total_tokens,
+         round(avg(tokens), 4) AS avg_tokens,
+         round(avg(round(least(1.0, tokens / 50.0) *
+               (CASE WHEN tokens > 0 AND chars * 1.0 / tokens BETWEEN 3 AND 10
+                     THEN 1.0 ELSE 0.5 END), 6)), 6) AS avg_quality,
+         round(avg(p), 6) AS avg_punct_ratio,
+         round(avg(s), 6) AS avg_stopword_ratio
+  FROM t GROUP BY 1
+),
+-- Gopher repetition: per-doc most-frequent 2-gram (count desc, gram asc)
+-- and the fraction of characters it covers
+tg AS (
+  SELECT lang, doc_id, length(text) AS chars,
+         unnest([array_to_string(toks2[i:i+1], ' ')
+                 FOR i IN range(1, len(toks2))]) AS g
+  FROM (SELECT lang, doc_id, text,
+               string_split_regex(trim(lower(text)), '\s+') AS toks2
+        FROM documents WHERE trim(text) <> '') d
+  WHERE len(toks2) >= 2
+),
+tc AS (
+  SELECT lang, doc_id, chars, g, count(*) AS c FROM tg GROUP BY 1, 2, 3, 4
+),
+best AS (
+  SELECT lang, doc_id,
+         round(c * length(g) * 1.0 / chars, 6) AS frac,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+  FROM tc
+),
+rep AS (
+  SELECT lang, round(avg(frac), 6) AS avg_top2gram_frac
+  FROM best WHERE rn = 1 GROUP BY 1
 )
-SELECT lang,
-       count(*) AS n_docs,
-       CAST(sum(tokens) AS BIGINT) AS total_tokens,
-       round(avg(tokens), 4) AS avg_tokens,
-       round(avg(round(least(1.0, tokens / 50.0) *
-             (CASE WHEN tokens > 0 AND chars * 1.0 / tokens BETWEEN 3 AND 10
-                   THEN 1.0 ELSE 0.5 END), 6)), 6) AS avg_quality,
-       round(avg(p), 6) AS avg_punct_ratio,
-       round(avg(s), 6) AS avg_stopword_ratio
-FROM t GROUP BY 1
+SELECT base.*, rep.avg_top2gram_frac
+FROM base LEFT JOIN rep USING (lang)
 """
 
 

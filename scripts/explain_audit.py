@@ -52,6 +52,11 @@ MAX_SHUFFLES: dict[str, int] = {
     "asof_event_rates": 2,
     "interval_event_counts": 2,
     "dedup_clusters": 1,
+    # r5 folds: token stats = base agg + top-ngram (explode-count +
+    # mode window) with a broadcast dim join back; dedup stats = base
+    # agg + contamination (doc-distinct gram agg + per-doc overlap agg)
+    "doc_token_stats": 4,
+    "doc_dedup_stats": 5,
 }
 
 

@@ -1,0 +1,266 @@
+"""Gopher-style repetition metrics, contamination overlap, PII ops.
+
+Reference analog: the reference has no text-quality layer (nearest is
+attrs validation, validate.py:37-98); these are the training-data-pipeline
+extensions the engine adds. Every metric is pinned against a pure-Python
+oracle on planted and randomized documents.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+import geoglue_spark.operators.text as TX
+
+
+# ---------------------------------------------------------------------------
+# pure-Python oracles
+# ---------------------------------------------------------------------------
+def py_dup_line_frac(text: str) -> float:
+    lines = [l.strip() for l in text.split("\n") if l.strip()]
+    if not lines:
+        return 0.0
+    return (len(lines) - len(set(lines))) / len(lines)
+
+
+def py_dup_line_char_frac(text: str) -> float:
+    lines = [l.strip() for l in text.split("\n") if l.strip()]
+    total = sum(len(l) for l in lines)
+    if not total:
+        return 0.0
+    c = Counter(lines)
+    dup = sum(len(l) for l in lines if c[l] > 1)
+    return dup / total
+
+
+def py_top_ngram(text: str, n: int):
+    toks = text.strip().lower().split()
+    if len(toks) < n or not text.strip():
+        return None
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    c = Counter(grams)
+    best = max(c.items(), key=lambda kv: (kv[1], [-ord(ch) for ch in kv[0]]))
+    # tie-break: highest count, then lexicographically smallest gram
+    maxc = max(c.values())
+    gram = min(g for g, k in c.items() if k == maxc)
+    return gram, maxc, round(maxc * len(gram) / len(text), 6) if len(text) else 0.0
+
+
+def py_contamination(doc: str, bench_grams: set, n: int):
+    toks = doc.strip().lower().split()
+    if len(toks) < n or not doc.strip():
+        return 0, 0
+    grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return len(grams), len(grams & bench_grams)
+
+
+def _rand_doc(rng: random.Random) -> str:
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    lines = []
+    for _ in range(rng.randint(0, 8)):
+        lines.append(" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 6))))
+    if rng.random() < 0.5 and lines:
+        lines.append(rng.choice(lines))  # plant a duplicate line
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# duplicate-line fractions
+# ---------------------------------------------------------------------------
+def test_dup_line_frac_planted(spark):
+    docs = [
+        ("a", "copy me\nunique one\ncopy me\nanother"),
+        ("b", "all\ndifferent\nlines"),
+        ("c", ""),
+        ("d", "   \n  \n"),
+        ("e", "x\nx\nx\nx"),
+        ("f", "long boilerplate line here\nshort\nlong boilerplate line here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = {
+        r.doc_id: (r.lf, r.cf)
+        for r in df.select(
+            "doc_id",
+            TX.dup_line_frac_col(F.col("text")).alias("lf"),
+            TX.dup_line_char_frac_col(F.col("text")).alias("cf"),
+        ).collect()
+    }
+    for doc_id, text in docs:
+        assert out[doc_id][0] == pytest.approx(py_dup_line_frac(text)), doc_id
+        assert out[doc_id][1] == pytest.approx(py_dup_line_char_frac(text)), doc_id
+    # char weighting catches the long boilerplate harder than line counting
+    assert out["f"][1] > out["f"][0]
+
+
+def test_dup_line_frac_randomized(spark):
+    rng = random.Random(42)
+    docs = [(str(i), _rand_doc(rng)) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = {
+        r.doc_id: (r.lf, r.cf)
+        for r in df.select(
+            "doc_id",
+            TX.dup_line_frac_col(F.col("text")).alias("lf"),
+            TX.dup_line_char_frac_col(F.col("text")).alias("cf"),
+        ).collect()
+    }
+    for doc_id, text in docs:
+        assert out[doc_id][0] == pytest.approx(py_dup_line_frac(text)), doc_id
+        assert out[doc_id][1] == pytest.approx(py_dup_line_char_frac(text)), doc_id
+
+
+# ---------------------------------------------------------------------------
+# top n-gram
+# ---------------------------------------------------------------------------
+def test_top_ngram_stats_planted(spark):
+    docs = [
+        ("a", "buy now buy now buy now limited offer"),
+        ("b", "every word appears once only here"),
+        ("c", "tie aa tie bb tie aa tie bb"),  # 'aa tie'/'bb tie'/'tie aa'/'tie bb' ties
+        ("d", "one"),  # shorter than n=2 -> no grams, absent from output
+        ("e", ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = {
+        r.doc_id: (r.top_ngram, r.top_ngram_count, r.top_ngram_char_frac)
+        for r in TX.top_ngram_stats(df, "text", "doc_id", n=2).collect()
+    }
+    assert "d" not in out and "e" not in out
+    for doc_id, text in docs:
+        exp = py_top_ngram(text, 2)
+        if exp is None:
+            assert doc_id not in out
+            continue
+        gram, cnt, frac = exp
+        assert out[doc_id][0] == gram, doc_id
+        assert out[doc_id][1] == cnt, doc_id
+        assert out[doc_id][2] == pytest.approx(frac, abs=1e-6), doc_id
+    # determinism of the tie-break: smallest gram among the tied
+    assert out["c"][0] == "aa tie"
+
+
+def test_top_ngram_stats_randomized_and_carry(spark):
+    rng = random.Random(7)
+    docs = [
+        (str(i), "s%d" % (i % 3), " ".join(rng.choice("abcde") for _ in range(rng.randint(2, 40))))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, source string, text string")
+    rows = TX.top_ngram_stats(df, "text", "doc_id", n=3, carry=("source",)).collect()
+    out = {r.doc_id: r for r in rows}
+    for doc_id, source, text in docs:
+        exp = py_top_ngram(text, 3)
+        if exp is None:
+            assert doc_id not in out
+            continue
+        gram, cnt, frac = exp
+        r = out[doc_id]
+        assert (r.top_ngram, r.top_ngram_count) == (gram, cnt), doc_id
+        assert r.source == source
+        assert r.top_ngram_char_frac == pytest.approx(frac, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# contamination overlap
+# ---------------------------------------------------------------------------
+def test_contamination_overlap_planted(spark):
+    bench_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "to be or not to be that is the question",
+    ]
+    n = 3
+    bench_grams = set()
+    for t in bench_texts:
+        toks = t.lower().split()
+        bench_grams |= {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+    docs = [
+        # verbatim inclusion -> heavy overlap
+        ("a", "I said the quick brown fox jumps over everything"),
+        # no overlap at all
+        ("b", "completely unrelated training text with many words"),
+        # exact benchmark copy -> frac 1.0
+        ("c", bench_texts[1]),
+        # too short for any gram
+        ("d", "tiny doc"),
+        ("e", ""),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id string, text string")
+    bdf = spark.createDataFrame([(t,) for t in bench_texts], "text string")
+    out = {
+        r.doc_id: r
+        for r in TX.contamination_overlap(ddf, bdf, n=n).collect()
+    }
+    assert set(out) == {d for d, _ in docs}  # gram-less docs still present
+    for doc_id, text in docs:
+        n_grams, n_overlap = py_contamination(text, bench_grams, n)
+        r = out[doc_id]
+        assert (r.n_grams, r.n_overlap) == (n_grams, n_overlap), doc_id
+        exp_frac = round(n_overlap / n_grams, 6) if n_grams else 0.0
+        assert r.contaminated_frac == pytest.approx(exp_frac, abs=1e-6)
+    assert out["c"].contaminated_frac == 1.0
+    assert out["b"].n_overlap == 0
+    assert out["d"].n_grams == 0 and out["d"].contaminated_frac == 0.0
+
+
+def test_contamination_overlap_non_broadcast_matches(spark):
+    rng = random.Random(3)
+    mk = lambda k: " ".join(rng.choice("pqrstuv") for _ in range(k))
+    docs = [(str(i), mk(rng.randint(0, 25))) for i in range(80)]
+    bench = [(mk(rng.randint(5, 15)),) for _ in range(10)]
+    ddf = spark.createDataFrame(docs, "doc_id string, text string")
+    bdf = spark.createDataFrame(bench, "text string")
+    a = sorted(
+        map(tuple, TX.contamination_overlap(ddf, bdf, n=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            TX.contamination_overlap(
+                ddf, bdf, n=4, broadcast_benchmark=False
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+def test_pii_counts_and_redaction(spark):
+    rows = [
+        ("a", "mail me at jane.doe+x@example.co.uk or call 555-123-4567"),
+        ("b", "server at 192.168.1.1 and 10.0.0.255 no mail"),
+        ("c", "clean text with no identifiers at all"),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            TX.pii_counts_col(F.col("text"), "email").alias("n_email"),
+            TX.pii_counts_col(F.col("text"), "phone").alias("n_phone"),
+            TX.pii_counts_col(F.col("text"), "ipv4").alias("n_ip"),
+            TX.redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (out["a"].n_email, out["a"].n_phone) == (1, 1)
+    assert out["b"].n_ip == 2
+    assert (out["c"].n_email, out["c"].n_phone, out["c"].n_ip) == (0, 0, 0)
+    assert (out["d"].n_email, out["d"].n_phone, out["d"].n_ip) == (0, 0, 0)
+    assert "jane.doe" not in out["a"].red and "[PII]" in out["a"].red
+    assert "4567" not in out["a"].red
+    assert "192.168.1.1" not in out["b"].red
+    assert out["c"].red == rows[2][1]  # untouched
+    # redaction never leaves a raw match behind
+    import re
+
+    for r in out.values():
+        for pat in TX.PII_PATTERNS.values():
+            assert not re.search(pat, r.red.replace("[PII]", ""))
