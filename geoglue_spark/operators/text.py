@@ -184,7 +184,7 @@ def dup_line_frac_col(text: Column) -> Column:
     distinct/total over trimmed non-empty lines. Pure JVM array math;
     0.0 for docs with no non-blank lines."""
     lines = F.filter(
-        F.transform(F.split(F.coalesce(text, F.lit("")), r"\n"), F.trim),
+        F.transform(F.split(F.coalesce(text, F.lit("")), r"\n"), lambda l: F.trim(l)),
         lambda l: l != "",
     )
     n = F.size(lines).cast("double")
@@ -201,7 +201,7 @@ def dup_line_char_frac_col(text: Column) -> Column:
     (tens), so the work per document is constant-bounded and never
     shuffles; all JVM-side."""
     lines = F.filter(
-        F.transform(F.split(F.coalesce(text, F.lit("")), r"\n"), F.trim),
+        F.transform(F.split(F.coalesce(text, F.lit("")), r"\n"), lambda l: F.trim(l)),
         lambda l: l != "",
     )
     total = F.aggregate(
@@ -376,6 +376,152 @@ def redact_pii(
     for k in kinds:
         out = F.regexp_replace(out, PII_PATTERNS[k], token)
     return out
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    carry: tuple = (),
+) -> DataFrame:
+    """Corpus-level boilerplate removal (CCNet / RefinedWeb line dedup):
+    drop every line that appears — after trim — in at least ``min_docs``
+    DISTINCT documents (navigation chrome, cookie banners, footers).
+
+    Scale shape: lines posexplode to rows carrying a 64-bit xxhash; ONE
+    hash-keyed aggregate computes per-line distinct-doc counts with
+    map-side partial aggregation; the boilerplate verdict equi-joins back
+    on the hash (never on line text — shuffle rows carry 8 B keys); the
+    document reassembles with an order-preserving sort_array over
+    (pos, line) structs. Two shuffles + one join, no Python, no driver
+    materialization — boilerplate sets at web scale are far too large to
+    broadcast, which is why this is a plain equi-join and not a map-side
+    lookup.
+
+    Output: (id_col, *carry, text_col cleaned, n_lines, n_removed).
+    Blank lines are dropped like the reference pipelines do."""
+    lines = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.posexplode_outer(
+            F.filter(
+                F.transform(
+                    F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n"),
+                    # single-arg lambda: passing F.trim directly would make
+                    # transform bind the element INDEX to trim's optional
+                    # trim-string parameter
+                    lambda l: F.trim(l),
+                ),
+                lambda l: l != "",
+            )
+        ).alias("_pos", "_l"),
+    ).withColumn(
+        # xxhash64(NULL) is the non-null seed hash — guard it or every
+        # line-less doc's placeholder row would share one bucket and
+        # could be miscounted as boilerplate
+        "_h",
+        F.when(F.col("_l").isNotNull(), F.xxhash64("_l")),
+    )
+    common = (
+        lines.groupBy("_h")
+        .agg(F.count_distinct(id_col).alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_docs)
+        .select("_h", F.lit(True).alias("_boiler"))
+    )
+    marked = lines.join(common, "_h", "left")
+    return (
+        marked.groupBy(id_col, *carry)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_boiler").isNull()
+                                & F.col("_l").isNotNull(),
+                                F.struct(F.col("_pos"), F.col("_l")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_l"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.count("_l").alias("n_lines"),
+            F.coalesce(
+                F.sum(F.col("_boiler").cast("int")), F.lit(0)
+            ).alias("n_removed"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    budget: int = 4096,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Deterministic token-budget sharding ("sequence packing" for
+    training runs): documents ordered by ``id_col`` are assigned to
+    consecutive shards so each shard holds ≈ ``budget`` tokens (a doc
+    goes to the shard its RUNNING token total falls in — greedy packing
+    in id order, reproducible under any partitioning or cluster size).
+
+    A naive global `Window.orderBy(id)` cumulative sum collapses to one
+    partition. This is the scalable two-phase prefix sum instead:
+    (1) deterministic buckets of ``bucket_size`` ids get partition-LOCAL
+    cumulative sums (window keyed by bucket); (2) per-bucket totals —
+    one row per bucket — aggregate, cumulate driver-side (thousands of
+    scalars at 100 TB, not data rows), and broadcast-join back as
+    offsets. Output adds (n_tokens, shard_id).
+
+    ``token_col`` supplies pre-computed counts; otherwise whitespace
+    tokens of ``text_col`` are counted JVM-side."""
+    from pyspark.sql import Window as W
+
+    toks = (
+        F.col(token_col)
+        if token_col
+        else token_count_col(F.col(text_col))
+    ).cast("long")
+    base = df.withColumn("_nt", toks).withColumn(
+        "_bkt", (F.col(id_col) / F.lit(bucket_size)).cast("long")
+    )
+    w = (
+        W.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = base.withColumn("_cum", F.sum("_nt").over(w))
+    # per-bucket totals: tiny (one row per bucket_size docs); exclusive
+    # prefix offsets computed on the driver stay O(n_buckets) scalars
+    totals = sorted(
+        (r._bkt, r.t)
+        for r in local.groupBy("_bkt").agg(F.sum("_nt").alias("t")).collect()
+    )
+    off, acc = {}, 0
+    for b, t in totals:
+        off[b] = acc
+        acc += t
+    offsets = df.sparkSession.createDataFrame(
+        [(b, o) for b, o in off.items()], "_bkt long, _off long"
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "shard_id",
+            # a doc belongs to the shard its LAST token lands in-order:
+            # (running total before this doc) // budget
+            ((F.col("_off") + F.col("_cum") - F.col("_nt")) / budget).cast(
+                "long"
+            ),
+        )
+        .drop("_bkt", "_cum", "_off")
+        .withColumnRenamed("_nt", "n_tokens")
+    )
 
 
 def lang_id_col(text: Column) -> Column:

@@ -264,3 +264,109 @@ def test_pii_counts_and_redaction(spark):
     for r in out.values():
         for pat in TX.PII_PATTERNS.values():
             assert not re.search(pat, r.red.replace("[PII]", ""))
+
+
+# ---------------------------------------------------------------------------
+# corpus-level boilerplate line removal
+# ---------------------------------------------------------------------------
+def py_remove_boilerplate(docs: list[tuple], min_docs: int):
+    from collections import defaultdict
+
+    owners = defaultdict(set)
+    for doc_id, text in docs:
+        for l in (x.strip() for x in text.split("\n")):
+            if l:
+                owners[l].add(doc_id)
+    boiler = {l for l, o in owners.items() if len(o) >= min_docs}
+    out = {}
+    for doc_id, text in docs:
+        lines = [x.strip() for x in text.split("\n") if x.strip()]
+        kept = [l for l in lines if l not in boiler]
+        out[doc_id] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+    return out
+
+
+def test_remove_boilerplate_lines_planted(spark):
+    docs = [
+        (1, "COOKIE BANNER\nreal content one\nfooter text"),
+        (2, "COOKIE BANNER\nreal content two\nfooter text"),
+        (3, "COOKIE BANNER\nunique paragraph here"),
+        (4, "totally original document\nwith its own lines"),
+        (5, ""),
+        (6, "  \n \n"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.text, r.n_lines, r.n_removed)
+        for r in TX.remove_boilerplate_lines(df, min_docs=2).collect()
+    }
+    exp = py_remove_boilerplate(docs, 2)
+    assert out == exp
+    assert out[1][0] == "real content one"  # banner + footer stripped
+    assert out[4][2] == 0  # unique doc untouched
+    assert out[5] == ("", 0, 0) and out[6] == ("", 0, 0)
+
+
+def test_remove_boilerplate_lines_randomized(spark):
+    rng = random.Random(11)
+    chrome = ["nav home about", "copyright 2026 corp", "subscribe now"]
+    docs = []
+    for i in range(120):
+        lines = [
+            " ".join(rng.choice("abcdefg") for _ in range(rng.randint(1, 5)))
+            for _ in range(rng.randint(0, 6))
+        ]
+        for c in chrome:
+            if rng.random() < 0.4:
+                lines.insert(rng.randrange(len(lines) + 1), c)
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.text, r.n_lines, r.n_removed)
+        for r in TX.remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert out == py_remove_boilerplate(docs, 3)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+def py_pack(docs: list[tuple], budget: int):
+    run = 0
+    out = {}
+    for doc_id, nt in sorted(docs):
+        out[doc_id] = (nt, run // budget)
+        run += nt
+    return out
+
+
+def test_pack_sequences_matches_serial_oracle(spark):
+    rng = random.Random(5)
+    docs = [(i, rng.randint(1, 300)) for i in range(500)]
+    df = spark.createDataFrame(docs, "doc_id long, n long")
+    out = {
+        r.doc_id: (r.n_tokens, r.shard_id)
+        for r in TX.pack_sequences(
+            df, token_col="n", budget=1000, bucket_size=64
+        ).collect()
+    }
+    assert out == py_pack(docs, 1000)
+    # shards are contiguous in id order and roughly budget-sized
+    shards = [out[i][1] for i in range(500)]
+    assert shards == sorted(shards)
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    rng = random.Random(9)
+    docs = [(i, " ".join("w" for _ in range(rng.randint(1, 40)))) for i in range(300)]
+    df1 = spark.createDataFrame(docs, "doc_id long, text string").repartition(7)
+    df2 = spark.createDataFrame(docs, "doc_id long, text string").repartition(2)
+    a = sorted(
+        (r.doc_id, r.shard_id)
+        for r in TX.pack_sequences(df1, budget=256, bucket_size=50).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.shard_id)
+        for r in TX.pack_sequences(df2, budget=256, bucket_size=17).collect()
+    )
+    assert a == b  # same ids -> same shards under any partitioning/bucketing
