@@ -733,9 +733,21 @@ def q_doc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         contamination_overlap(docs, bench, n=3, carry=("source",))
         .groupBy("source")
         .agg(
-            F.round(F.avg("contaminated_frac"), 6).alias(
-                "avg_contaminated_frac"
-            ),
+            # integer micro-unit average (see q_doc_token_stats): exact
+            # summation + integer-scale rounding keeps both engines'
+            # half-boundary behavior identical
+            (
+                F.round(
+                    F.sum(
+                        F.round(F.col("contaminated_frac") * 1e6, 0).cast(
+                            "long"
+                        )
+                    )
+                    / F.count("*"),
+                    0,
+                )
+                / F.lit(1e6)
+            ).alias("avg_contaminated_frac"),
             F.sum(
                 (F.col("contaminated_frac") >= 0.5).cast("long")
             ).alias("n_contaminated_docs"),
@@ -784,7 +796,8 @@ fr AS (
 ),
 cont AS (
   SELECT source,
-         round(avg(f), 6) AS avg_contaminated_frac,
+         round(sum(CAST(round(f * 1000000) AS BIGINT)) * 1.0
+               / count(*)) / 1000000.0 AS avg_contaminated_frac,
          CAST(sum(CASE WHEN f >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_contaminated_docs
   FROM fr GROUP BY 1
@@ -830,7 +843,26 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = (
         top_ngram_stats(docs, "text", "doc_id", n=2, carry=("lang",))
         .groupBy("lang")
-        .agg(F.round(F.avg("top_ngram_char_frac"), 6).alias("avg_top2gram_frac"))
+        .agg(
+            # integer micro-unit average: per-doc fracs are 6-dp, so
+            # sum them as exact micro integers and round the quotient at
+            # INTEGER scale — a .5 quotient is exactly representable
+            # there, so Spark's BigDecimal HALF_UP and DuckDB's
+            # scale-multiply rounding agree (at 1e-6 scale they diverge
+            # on boundary values; observed on this very column)
+            (
+                F.round(
+                    F.sum(
+                        F.round(F.col("top_ngram_char_frac") * 1e6, 0).cast(
+                            "long"
+                        )
+                    )
+                    / F.count("*"),
+                    0,
+                )
+                / F.lit(1e6)
+            ).alias("avg_top2gram_frac")
+        )
     )
     return base.join(F.broadcast(rep), "lang", "left")
 
@@ -888,7 +920,9 @@ best AS (
   FROM tc
 ),
 rep AS (
-  SELECT lang, round(avg(frac), 6) AS avg_top2gram_frac
+  SELECT lang,
+         round(sum(CAST(round(frac * 1000000) AS BIGINT)) * 1.0
+               / count(*)) / 1000000.0 AS avg_top2gram_frac
   FROM best WHERE rn = 1 GROUP BY 1
 )
 SELECT base.*, rep.avg_top2gram_frac
