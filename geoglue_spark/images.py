@@ -373,6 +373,70 @@ def phash64(pixels: np.ndarray) -> int:
     return int(val.view(np.int64))
 
 
+def flip_h(pix: np.ndarray) -> np.ndarray:
+    """Horizontal mirror (left-right)."""
+    return np.ascontiguousarray(pix[:, ::-1])
+
+
+def flip_v(pix: np.ndarray) -> np.ndarray:
+    """Vertical mirror (top-bottom)."""
+    return np.ascontiguousarray(pix[::-1])
+
+
+def rot90(pix: np.ndarray, k: int = 1) -> np.ndarray:
+    """Rotate by k*90 degrees counter-clockwise (axes (0, 1) so channel
+    layout survives)."""
+    return np.ascontiguousarray(np.rot90(pix, k, axes=(0, 1)))
+
+
+def crop(pix: np.ndarray, x0: int, y0: int, out_w: int, out_h: int) -> np.ndarray:
+    """Axis-aligned crop; raises when the window leaves the image."""
+    h, w = pix.shape[:2]
+    if x0 < 0 or y0 < 0 or x0 + out_w > w or y0 + out_h > h:
+        raise ValueError(
+            f"crop ({x0},{y0},{out_w},{out_h}) outside image ({w}x{h})"
+        )
+    return np.ascontiguousarray(pix[y0 : y0 + out_h, x0 : x0 + out_w])
+
+
+def center_crop(pix: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    h, w = pix.shape[:2]
+    return crop(pix, (w - out_w) // 2, (h - out_h) // 2, out_w, out_h)
+
+
+AUGMENT_KERNELS = {
+    "flip_h": flip_h,
+    "flip_v": flip_v,
+    "rot90": rot90,
+    "rot180": lambda p: rot90(p, 2),
+    "rot270": lambda p: rot90(p, 3),
+    "identity": lambda p: p,
+}
+
+
+def sharpness(pix: np.ndarray) -> float:
+    """Variance of the 4-neighbour Laplacian over the grayscale image —
+    the standard blur detector (higher = sharper); whole-array slicing,
+    no convolution library."""
+    g = _to_gray(np.asarray(pix, np.float64))
+    if g.shape[0] < 3 or g.shape[1] < 3:
+        return 0.0
+    lap = (
+        g[:-2, 1:-1] + g[2:, 1:-1] + g[1:-1, :-2] + g[1:-1, 2:]
+        - 4.0 * g[1:-1, 1:-1]
+    )
+    return float(lap.var())
+
+
+def gray_entropy(pix: np.ndarray, bins: int = 256) -> float:
+    """Shannon entropy (bits) of the grayscale intensity histogram —
+    near-0 for flat/synthetic fills, ~8 for full-range noise."""
+    g = _to_gray(np.asarray(pix, np.float64)).ravel()
+    hist, _ = np.histogram(g, bins=bins, range=(0.0, 255.0))
+    p = hist[hist > 0] / g.size
+    return float(-(p * np.log2(p)).sum())
+
+
 def hamming64(a: int, b: int) -> int:
     return int(bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1"))
 

@@ -188,6 +188,129 @@ def resize_images(
     )
 
 
+def augment_images(
+    images: DataFrame,
+    ops: tuple[str, ...] = ("identity", "flip_h"),
+    crop_w: int | None = None,
+    crop_h: int | None = None,
+    seed: int = 0,
+    out_fmt: str = "raw",
+) -> DataFrame:
+    """Deterministic per-image augmentation for training epochs: each
+    image's op (and crop offset, when ``crop_w/crop_h`` are set) is drawn
+    from md5(image_id, seed) — NOT Python's salted hash() and NOT an RNG,
+    so the same (image, seed) always produces the same output on any
+    executor count, partitioning, or retry (the reproducibility contract
+    a resumable 100-TB epoch needs; change ``seed`` per epoch for fresh
+    draws). Decode → flip/rotate → crop happens as whole-array NumPy in
+    one mapInPandas pass; payloads never cross to Python outside the
+    kernel. Images smaller than the crop are dropped (observable as
+    input minus output rows).
+
+    Output: (image_id, bytes, w, h, fmt, aug) where ``aug`` is e.g.
+    ``flip_h+crop(3,7)``."""
+    import hashlib
+
+    from ..images import AUGMENT_KERNELS, crop as crop_k, encode_image
+
+    bad = set(ops) - set(AUGMENT_KERNELS)
+    if bad:
+        raise ValueError(
+            f"unknown augment ops {sorted(bad)}; expected from "
+            f"{sorted(AUGMENT_KERNELS)}"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    pix = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
+                except NotImplementedError:
+                    continue
+                digest = hashlib.md5(
+                    f"{r.image_id}:{seed}".encode()
+                ).digest()
+                draw = int.from_bytes(digest[:8], "big")
+                op = ops[draw % len(ops)]
+                pix = AUGMENT_KERNELS[op](pix)
+                aug = op
+                if crop_w is not None and crop_h is not None:
+                    h, w = pix.shape[:2]
+                    if w < crop_w or h < crop_h:
+                        continue
+                    x0 = int.from_bytes(digest[8:12], "big") % (w - crop_w + 1)
+                    y0 = int.from_bytes(digest[12:16], "big") % (h - crop_h + 1)
+                    pix = crop_k(pix, x0, y0, crop_w, crop_h)
+                    aug = f"{op}+crop({x0},{y0})"
+                oh, ow = pix.shape[:2]
+                out.append(
+                    (r.image_id, encode_image(pix, out_fmt), ow, oh, out_fmt, aug)
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "bytes", "w", "h", "fmt", "aug"]
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, "image_id string, bytes binary, w int, h int, fmt string, aug string"
+    )
+
+
+def image_quality_stats(images: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Per-image quality signals for corpus filtering: Laplacian-variance
+    sharpness (blur detection), grayscale histogram entropy (flat-fill /
+    synthetic detection), mean and std intensity. One mapInPandas decode
+    pass; each metric is a whole-array NumPy reduction."""
+    from ..images import gray_entropy, sharpness
+
+    cols = ["image_id", *carry]
+    schema = (
+        ", ".join(["image_id string"] + [f"{c} string" for c in carry])
+        + ", sharpness double, entropy double, mean_val double, std_val double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    pix = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
+                except NotImplementedError:
+                    continue
+                out.append(
+                    tuple(getattr(r, c) for c in cols)
+                    + (
+                        round(sharpness(pix), 6),
+                        round(gray_entropy(pix), 6),
+                        round(float(np.asarray(pix, np.float64).mean()), 6),
+                        round(float(np.asarray(pix, np.float64).std()), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=cols + ["sharpness", "entropy", "mean_val", "std_val"],
+            )
+
+    return images.select(*cols, "bytes", "w", "h", "fmt").mapInPandas(run, schema)
+
+
+def filter_pairs_by_cosine(
+    pairs: DataFrame,
+    emb_a: str,
+    emb_b: str,
+    min_cosine: float,
+    out_col: str = "pair_cosine",
+) -> DataFrame:
+    """CLIP-style image-text pair filtering: keep rows whose two embedding
+    columns (array<float/double>, same dimension) have cosine similarity
+    >= ``min_cosine``. Pure JVM fold (`cosine_col`) — no shuffle, no
+    Python; composes with any upstream join that paired the modalities."""
+    from .similarity import cosine_col
+
+    c = cosine_col(F.col(emb_a), F.col(emb_b))
+    return pairs.withColumn(out_col, c).filter(F.col(out_col) >= min_cosine)
+
+
 # ---------------------------------------------------------------------------
 # video / audio: REAL Spark plumbing over deterministic fake containers.
 # The container ships no video/audio codec libraries, so per the build rules
