@@ -348,7 +348,15 @@ def minhash_signatures(
     (a*x+b) mod p mins run inside whole-stage codegen with map-side partial
     aggregation (shuffle = one partial row per doc per task)."""
     a, b = _mh_params(n_perm)
-    grams = df.select(
+    # explicit-count hash repartition by id BEFORE the explode: spreads
+    # the md5 shingle hashing across the cluster when the input is a few
+    # fat files (a single-file scan otherwise runs it in ONE task), and
+    # the groupBy(_id) below reuses the partitioning so its exchange
+    # elides. Explicit count because AQE's size-based coalescing would
+    # collapse the byte-small doc exchange ahead of CPU-heavy work.
+    grams = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles_col(F.col(text_col), shingle_k)).alias("_g"),
     )
@@ -483,7 +491,11 @@ def simhash_signatures(
     higher-order aggregate: tokens explode to rows once, the 60 per-bit
     majority votes run as sum() aggregates inside whole-stage codegen."""
     trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))  # NULL text == ''
-    toks = df.select(
+    # same explicit pre-repartition as minhash_signatures: distribute the
+    # per-token md5 voting instead of letting it ride a 1-task scan
+    toks = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(
         F.col(id_col).alias("_id"),
         (trimmed == "").alias("_blank"),
         F.explode(F.split(trimmed, r"\s+")).alias("_t"),

@@ -147,13 +147,31 @@ def winnow_fingerprints(
 
     from .dedup import shingle_key_col, word_shingles_col
 
-    ex = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in carry],
-        F.posexplode(word_shingles_col(F.col(text_col), shingle_k)).alias(
-            "_pos", "_g"
-        ),
-    ).select(id_col, *carry, "_pos", shingle_key_col(F.col("_g")).alias("_x"))
+    # Hash-repartition the RAW documents by id before exploding: the
+    # per-doc window requires HashPartitioning(id) anyway, so this moves
+    # the one unavoidable exchange from AFTER the shingle explode (rows
+    # amplified ~tokens-per-doc times, ~25 B each) to BEFORE it (one raw
+    # text row per doc) — less shuffle volume at every scale — and it
+    # spreads the md5 shingle hashing across the cluster even when the
+    # input is a handful of fat files (a single-file scan otherwise runs
+    # the whole explode+hash map-side in ONE task). The partition count
+    # is EXPLICIT: byte-sized documents explode into CPU-heavy shingle
+    # hashing, and AQE's size-based coalescing would collapse the small
+    # exchange to one partition (measured: the whole window stage ran
+    # single-task behind a ~1 MB shuffle).
+    ex = (
+        df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry],
+            F.posexplode(word_shingles_col(F.col(text_col), shingle_k)).alias(
+                "_pos", "_g"
+            ),
+        )
+        .select(id_col, *carry, "_pos", shingle_key_col(F.col("_g")).alias("_x"))
+    )
     w = (
         W.partitionBy(id_col)
         .orderBy("_pos")

@@ -1732,14 +1732,17 @@ def q_winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", _WF_K, _WF_W, out_col="_f",
         grouped=False, carry=("source",), distinct=False,
     )
-    return (
-        fp.groupBy("source")
-        .agg(
-            F.count_distinct("_f").alias("n_distinct_fp"),
-            F.round(
-                F.count_distinct("doc_id", "_f") / F.count_distinct("_f"), 6
-            ).alias("fp_reuse_ratio"),
-        )
+    # Two-level distinct (r5): a direct count_distinct keyed by `source`
+    # (20 values) funnels every expanded row into ONE final task — the
+    # per-(source, fingerprint) aggregate is keyed high-cardinality and
+    # runs parallel, and the rollup's count/sum partial-aggregate
+    # map-side, so the last stage merges partial rows, not data.
+    per_fp = fp.groupBy("source", "_f").agg(
+        F.count_distinct("doc_id").alias("_nd")
+    )
+    return per_fp.groupBy("source").agg(
+        F.count("*").alias("n_distinct_fp"),
+        F.round(F.sum("_nd") / F.count("*"), 6).alias("fp_reuse_ratio"),
     )
 
 
