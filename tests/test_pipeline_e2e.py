@@ -109,3 +109,103 @@ def test_document_pipeline_with_stratified_cap(spark):
         for r in capped.groupBy("bucket").agg(F.count("*").alias("n")).collect()
     }
     assert sizes == {"0": 15, "1": 15, "2": 15}
+
+
+def test_text_curation_pipeline_composes(spark):
+    """The r5 curation family composes end to end: boilerplate strip →
+    exact dedup keep-first → contamination filter → quality gates →
+    sequence packing. Invariants: boilerplate never survives, benchmark
+    copies are gone, shards cover survivors exactly once with contiguous
+    budget-ordered ids."""
+    import random
+
+    from geoglue_spark.operators.dedup import exact_dedup_keep_first
+    from geoglue_spark.operators.text import (
+        contamination_overlap,
+        pack_sequences,
+        remove_boilerplate_lines,
+        token_count_col,
+        top_ngram_stats,
+    )
+
+    rng = random.Random(17)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    chrome = "subscribe to our newsletter today"
+    bench_text = "held out benchmark question answer pair"
+    docs = []
+    for i in range(200):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(10, 40)))
+        lines = [body]
+        if i % 3 == 0:
+            lines.insert(0, chrome)           # boilerplate in 1/3 of docs
+        if i % 50 == 7:
+            lines.append(bench_text)          # planted contamination
+        if i % 25 == 0 and i > 0:
+            docs.append((i * 1000, "\n".join(lines)))  # exact dupe id
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bdf = spark.createDataFrame([(bench_text,)], "text string")
+
+    # 1. corpus boilerplate strip: the chrome line appears in >= 60 docs
+    clean = remove_boilerplate_lines(df, min_docs=10)
+    assert clean.filter(F.col("text").contains(chrome)).count() == 0
+    assert clean.count() == len(docs)
+
+    # 2. exact dedup (post-strip: stripped copies collide exactly)
+    deduped = exact_dedup_keep_first(clean, "text", "doc_id")
+    assert (
+        deduped.groupBy(F.md5("text")).count().filter("count > 1").count() == 0
+    )
+
+    # 3. contamination gate at 5-gram granularity drops the planted docs
+    cont = contamination_overlap(deduped, bdf, n=5)
+    flagged = {r.doc_id for r in cont.filter("n_overlap > 0").collect()}
+    assert flagged  # the planted docs carry the benchmark 5-grams
+    surviving = deduped.join(
+        cont.filter("n_overlap = 0").select("doc_id"), "doc_id", "left_semi"
+    )
+    assert surviving.filter(F.col("text").contains(bench_text)).count() == 0
+
+    # 4. quality gate: top-2-gram char fraction below 0.5. A short doc
+    # over a 10-word vocab CAN legitimately be 2-gram-dominated, so
+    # verify the gate drops exactly the docs a pure-Python oracle calls
+    # degenerate rather than assuming none exist.
+    rep = top_ngram_stats(surviving, "text", "doc_id", n=2)
+    gated = surviving.join(
+        rep.filter("top_ngram_char_frac < 0.5").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+    def py_top2_frac(text):
+        toks = text.lower().split()
+        if len(toks) < 2:
+            return 0.0
+        counts = {}
+        for a, b in zip(toks, toks[1:]):
+            g = f"{a} {b}"
+            counts[g] = counts.get(g, 0) + 1
+        best = max(counts.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+        return len(best[0]) * best[1] / len(text)
+
+    degenerate = {
+        r.doc_id
+        for r in surviving.collect()
+        if py_top2_frac(r.text) >= 0.5
+    }
+    assert {r.doc_id for r in gated.collect()} == (
+        {r.doc_id for r in surviving.collect()} - degenerate
+    )
+
+    # 5. pack into ~500-token shards: every survivor lands in exactly one
+    # shard, shards are contiguous in id order, budget respected serially
+    packed = pack_sequences(gated, budget=500, bucket_size=37)
+    rows = sorted(
+        (r.doc_id, r.n_tokens, r.shard_id) for r in packed.collect()
+    )
+    assert len(rows) == gated.count()
+    run, expect = 0, []
+    for doc_id, nt, shard in rows:
+        expect.append(run // 500)
+        run += nt
+    assert [s for _, _, s in rows] == expect
