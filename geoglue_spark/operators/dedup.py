@@ -896,6 +896,51 @@ def near_dedup_keep_first(
     return df.join(losers, id_col, "left_anti")
 
 
+def elect_cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware generalization of :func:`near_dedup_keep_first`: keep
+    the HIGHEST-``score_col`` member of each near-duplicate connected
+    component (ties break to the smallest id), dropping the rest. Rows not
+    in any pair survive untouched. This is the curation step production
+    pipelines actually run — near-dup clusters mix a clean original with
+    boilerplate-wrapped or truncated copies, and keep-first by id throws
+    away quality information.
+
+    Scale shape: the winner per cluster is found with two component-keyed
+    hash aggregates (max score, then min id among the argmax rows) instead
+    of a ``row_number`` window — a pathological mega-cluster (the same
+    page mirrored a billion times) costs two map-side-combining shuffles,
+    never a single-task window sort. NULL scores rank below every non-NULL
+    score; an all-NULL cluster still elects its min-id member.
+    """
+    labels = connected_components(pairs)
+    scored = labels.join(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(
+                F.col(score_col).cast("double"), F.lit(float("-inf"))
+            ).alias("_score"),
+        ),
+        "id",
+    )
+    best = scored.groupBy("comp").agg(F.max("_score").alias("_best"))
+    winners = (
+        scored.join(best, "comp")
+        .filter(F.col("_score") == F.col("_best"))
+        .groupBy("comp")
+        .agg(F.min("id").alias("id"))
+        .select("id")
+    )
+    losers = labels.join(winners, "id", "left_anti").select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # --------------------------------------------------------------------------
 # n-gram Jaccard verification (exact, for candidate pairs)
 # --------------------------------------------------------------------------

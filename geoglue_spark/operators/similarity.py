@@ -418,3 +418,52 @@ def cosine_topk_lsh_indexed(
         id_col, vec_col, "query_id"
     )
     return _score_topk(pruned, qvecs, k, id_col, vec_col, sim_decimals)
+
+
+# --------------------------------------------------------------------------
+# int8 at-rest quantization (4x smaller index, bounded recall loss)
+# --------------------------------------------------------------------------
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "qvec",
+    scale_col: str = "qscale",
+    keep_original: bool = False,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an ``array<float>``
+    column: ``q[i] = round(x[i] / scale)`` with ``scale = max|x| / 127``,
+    stored as (``array<tinyint>``, one float scale). Pure JVM Column
+    expressions — no Python, rides whole-stage codegen, and the quantized
+    store is ~4x smaller at rest than float32 (the number that matters
+    when a 10^12-vector ANN index must fit a cluster's disks / page
+    cache). Reconstruction error is bounded by scale/2 per element, so
+    cosine ranking degrades gracefully (see the recall pytest).
+
+    Zero vectors quantize to all-zero with scale 1. Dequantize with
+    :func:`dequantize_embeddings`.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = F.when(amax > 0.0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    out = df.withColumn(
+        q_col, F.transform(vec, lambda x: F.round(x / scale).cast("tinyint"))
+    ).withColumn(scale_col, scale.cast("float"))
+    return out if keep_original else out.drop(vec_col)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "qvec",
+    scale_col: str = "qscale",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: reconstruct an
+    ``array<float>`` column (``x[i] ~= q[i] * scale``). Also pure JVM; the
+    reconstructed column feeds any of the cosine_topk* paths unchanged."""
+    return df.withColumn(
+        vec_col,
+        F.transform(
+            F.col(q_col),
+            lambda v: (v.cast("double") * F.col(scale_col)).cast("float"),
+        ),
+    ).drop(q_col, scale_col)

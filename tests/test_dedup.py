@@ -447,3 +447,80 @@ def test_near_dedup_keep_first_transitive(spark):
         r.doc_id for r in D.near_dedup_keep_first(df, pairs, "doc_id").collect()
     )
     assert kept == [0, 3, 4]
+
+
+def test_elect_cluster_representatives(spark):
+    """Highest-score member survives per transitive cluster; ties break to
+    the smallest id; NULL scores lose to any non-NULL; an all-NULL cluster
+    still elects its min-id member; unpaired rows survive untouched."""
+    df = spark.createDataFrame(
+        [
+            (0, 0.2),   # cluster {0,1,2}: 1 has best score
+            (1, 0.9),
+            (2, 0.9),   # tie with 1 -> min id 1 wins
+            (3, None),  # unpaired, NULL score: survives regardless
+            (4, None),  # cluster {4,5}: all-NULL -> min id 4
+            (5, None),
+            (6, 0.1),   # cluster {6,7}: 7 beats 6 despite larger id
+            (7, 0.8),
+        ],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5), (6, 7)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in D.elect_cluster_representatives(
+            df, pairs, "doc_id", "quality"
+        ).collect()
+    )
+    assert kept == [1, 3, 4, 7]
+
+
+def test_elect_cluster_representatives_matches_python_oracle(spark):
+    """Random graph + random scores vs a pure-Python union-find oracle."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    n = 120
+    edges = rng.integers(0, n, size=(80, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    scores = np.round(rng.random(n), 3)
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(int(a))] = find(int(b))
+    clusters = {}
+    for i in range(n):
+        clusters.setdefault(find(i), []).append(i)
+    paired = set(edges.ravel().tolist())
+    want = set()
+    for members in clusters.values():
+        members = [m for m in members if m in paired]
+        if not members:
+            continue
+        best = max(scores[m] for m in members)
+        want.add(min(m for m in members if scores[m] == best))
+    want |= set(range(n)) - paired  # unpaired rows always survive
+
+    df = spark.createDataFrame(
+        [(i, float(scores[i])) for i in range(n)], "doc_id long, quality double"
+    )
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id
+        for r in D.elect_cluster_representatives(
+            df, pairs, "doc_id", "quality"
+        ).collect()
+    }
+    assert got == want

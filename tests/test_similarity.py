@@ -150,3 +150,68 @@ def test_ivf_index_recall_and_pruning(spark, tmp_path):
 
     full = cosine_topk_ivf(spark, path, cents, qs, k=5, nprobe=64)
     assert {(r.query_id, r.neighbor_id) for r in full.collect()} == exact
+
+
+def test_quantize_roundtrip_error_bound(spark, emb):
+    """Per-element reconstruction error <= scale/2 (+ float32 store eps);
+    zero vectors survive; plan is pure JVM (no Python eval nodes)."""
+    from geoglue_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df, vecs = emb
+    withzero = df.union(
+        spark.createDataFrame([(999, [0.0] * 16)], "vec_id long, embedding array<float>")
+    )
+    q = quantize_embeddings(withzero, keep_original=True)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # Arrow or Batch — neither allowed
+    back = dequantize_embeddings(q.withColumnRenamed("embedding", "orig"))
+    err = back.select(
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    "orig",
+                    "embedding",
+                    lambda a, b: F.abs(a.cast("double") - b.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda s, v: F.greatest(s, v),
+            )
+        ).alias("maxerr"),
+        F.max(
+            F.array_max(F.transform("orig", lambda x: F.abs(x.cast("double"))))
+            / F.lit(254.0)
+        ).alias("bound"),
+    ).collect()[0]
+    # bound uses the GLOBAL max-amax; per-row scale/2 <= that, plus a hair
+    # of float32 scale-storage rounding
+    assert err.maxerr <= err.bound * (1 + 1e-5)
+    zero = back.filter("vec_id = 999").collect()[0]
+    assert list(zero.embedding) == [0.0] * 16
+
+
+def test_quantized_topk_recall(spark, emb):
+    """recall@10 of brute-force cosine over int8-dequantized vectors vs
+    the float32 originals: >= 0.9 mean across queries (int8 keeps ~2
+    decimal digits per element; rank inversions happen only between
+    near-equal sims)."""
+    from geoglue_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df, vecs = emb
+    qidx = [0, 1, 2, 3, 4]
+    queries = [(i, [float(x) for x in vecs[i]]) for i in qidx]
+    cands = df.filter(F.col("vec_id") >= 5)
+    exact = cosine_topk(cands, queries, k=10).toPandas()
+    deq = dequantize_embeddings(quantize_embeddings(cands))
+    approx = cosine_topk(deq, queries, k=10).toPandas()
+    recalls = []
+    for qi in qidx:
+        e = set(exact[exact.query_id == qi].neighbor_id)
+        a = set(approx[approx.query_id == qi].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
