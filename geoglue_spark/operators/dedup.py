@@ -918,6 +918,23 @@ def elect_cluster_representatives(
     score; an all-NULL cluster still elects its min-id member.
     """
     labels = connected_components(pairs)
+    winners = cluster_winners(labels, df, id_col, score_col).select("id")
+    losers = labels.join(winners, "id", "left_anti").select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def cluster_winners(
+    labels: DataFrame, df: DataFrame, id_col: str, score_col: str,
+    with_size: bool = False,
+) -> DataFrame:
+    """(comp, id) of the highest-``score_col`` member per component of a
+    :func:`connected_components` labeling (ties -> smallest id). The
+    argmax is two component-keyed hash aggregates, never a window — see
+    :func:`elect_cluster_representatives` for the scale rationale.
+    ``with_size=True`` adds ``cluster_size`` (member count) riding the
+    same aggregates — no extra shuffle over computing it separately."""
     scored = labels.join(
         df.select(
             F.col(id_col).alias("id"),
@@ -927,18 +944,25 @@ def elect_cluster_representatives(
         ),
         "id",
     )
-    best = scored.groupBy("comp").agg(F.max("_score").alias("_best"))
+    stats = scored.groupBy("comp").agg(
+        F.max("_score").alias("_best"), F.count("*").alias("cluster_size")
+    )
+    # _score >= _best (not ==): equivalent — _best is max(_score) so only
+    # argmax rows satisfy it — but as an INEQUALITY Catalyst keeps it a
+    # post-join filter on the comp-keyed equi-join instead of folding the
+    # float into the join key, which would re-exchange BOTH sides on
+    # (score, comp) and cost two extra shuffles
     winners = (
-        scored.join(best, "comp")
-        .filter(F.col("_score") == F.col("_best"))
+        scored.join(stats, "comp")
+        .filter(F.col("_score") >= F.col("_best"))
         .groupBy("comp")
-        .agg(F.min("id").alias("id"))
-        .select("id")
+        # min(cluster_size) = THE size (constant within comp) — folded into
+        # the comp-keyed aggregate so the grouping key stays exactly the
+        # join key and the planner reuses the join's partitioning
+        .agg(F.min("id").alias("id"), F.min("cluster_size").alias("cluster_size"))
+        .select("comp", "cluster_size", "id")
     )
-    losers = labels.join(winners, "id", "left_anti").select(
-        F.col("id").alias(id_col)
-    )
-    return df.join(losers, id_col, "left_anti")
+    return winners if with_size else winners.drop("cluster_size")
 
 
 # --------------------------------------------------------------------------

@@ -2086,21 +2086,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture -> connected components (pointer-jumped min-label propagation)
     -> per-cluster size + canonical keeper id. The production step after
     any pair generator: transitive duplicate groups dedup as one group.
-    Oracle: DuckDB recursive CTE computing min-reachable-id fixpoints over
-    the same brute-force pair graph."""
-    from .operators.dedup import connected_components, phash_near_dupes
+    Each cluster also ELECTS a quality-aware representative (r5:
+    elect_cluster_representatives) — the highest-resolution member by
+    pixel count w*h, ties to the smallest id — the keep-the-best-copy
+    rule production curation actually applies. Oracle: DuckDB recursive
+    CTE computing min-reachable-id fixpoints over the same brute-force
+    pair graph, plus a per-component argmax."""
+    from .operators.dedup import (
+        cluster_winners,
+        connected_components,
+        phash_near_dupes,
+    )
 
     imgs = _images(spark)
     pairs = phash_near_dupes(imgs, "phash", "image_id", max_hamming=0)
     comp = connected_components(pairs)
-    return comp.groupBy(F.col("comp").alias("keeper_id")).agg(
-        F.count("*").alias("cluster_size")
+    return cluster_winners(
+        comp,
+        imgs.withColumn("_q", F.col("w") * F.col("h")),
+        "image_id",
+        "_q",
+        with_size=True,
+    ).select(
+        F.col("comp").alias("keeper_id"),
+        "cluster_size",
+        F.col("id").alias("rep_id"),
     )
 
 
 SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE
-imgs AS (SELECT image_id, phash FROM read_parquet('{{images_path}}')),
+imgs AS (SELECT image_id, phash, w, h FROM read_parquet('{{images_path}}')),
 pairs AS (
   SELECT a.image_id AS id_a, b.image_id AS id_b
   FROM imgs a JOIN imgs b ON a.image_id < b.image_id AND a.phash = b.phash
@@ -2114,9 +2130,20 @@ reach(id, r) AS (
   UNION
   SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
 ),
-comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
-SELECT component AS keeper_id, count(*) AS cluster_size
-FROM comp GROUP BY component
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+scored AS (
+  SELECT comp.component, comp.id, CAST(i.w * i.h AS DOUBLE) AS q
+  FROM comp JOIN imgs i ON i.image_id = comp.id
+),
+best AS (SELECT component, max(q) AS bq FROM scored GROUP BY component),
+winners AS (
+  SELECT s.component, min(s.id) AS rep_id
+  FROM scored s JOIN best b ON s.component = b.component AND s.q = b.bq
+  GROUP BY s.component
+)
+SELECT c.component AS keeper_id, count(*) AS cluster_size, w.rep_id AS rep_id
+FROM comp c JOIN winners w ON w.component = c.component
+GROUP BY c.component, w.rep_id
 """
 
 

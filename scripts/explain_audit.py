@@ -51,7 +51,12 @@ REQUIRE: dict[str, list[str]] = {
 MAX_SHUFFLES: dict[str, int] = {
     "asof_event_rates": 2,
     "interval_event_counts": 2,
-    "dedup_clusters": 1,
+    # r5: the converged cluster frame takes exactly two comp-keyed
+    # exchanges for the quality-aware representative election (member
+    # scores + the max/count aggregate; the argmax filter is a post-join
+    # inequality so the float never becomes a join key, and the final
+    # groupBy reuses the join partitioning)
+    "dedup_clusters": 2,
     # r5 folds: token stats = base agg + top-ngram (explode-count +
     # mode window) with a broadcast dim join back; dedup stats = base
     # agg + contamination (doc-distinct gram agg + per-doc overlap agg)
