@@ -127,6 +127,8 @@ def _jpeg_frame_end(buf: bytes, pos: int) -> int:
         if m in _STANDALONE:
             p += 2
             continue
+        if p + 4 > n:  # cut inside the 2-byte segment length itself
+            raise ValueError("truncated JPEG frame (no EOI)")
         ln = struct.unpack_from(">H", buf, p + 2)[0]
         in_scan = m == 0xDA  # SOS: entropy data follows the header
         p += 2 + ln

@@ -338,6 +338,22 @@ def minhash_sig_col(text: Column, n_perm: int = 64, shingle_k: int = 3) -> Colum
     return F.array(*[F.array_min(F.transform(xs, perm(j))) for j in range(n_perm)])
 
 
+def _spread_for_cpu(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-repartition raw documents by id ahead of a CPU-amplifying
+    shingle explode — but ONLY when the scan is starved (fewer partitions
+    than cores). A few fat files otherwise run the whole explode+hash in
+    one or two tasks (and AQE's size-based coalescing makes it worse: the
+    byte-small doc exchange collapses toward ONE partition, blind to the
+    ~50x CPU amplification downstream — measured, see SCALE.md). On a
+    well-laid-out corpus with >= parallelism input partitions the shuffle
+    would be a pure LOSS: the downstream groupBy ships only compact
+    map-side partial rows, far less than the raw text bytes."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key_col))
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_perm: int = 64, shingle_k: int = 3
 ) -> DataFrame:
@@ -348,15 +364,11 @@ def minhash_signatures(
     (a*x+b) mod p mins run inside whole-stage codegen with map-side partial
     aggregation (shuffle = one partial row per doc per task)."""
     a, b = _mh_params(n_perm)
-    # explicit-count hash repartition by id BEFORE the explode: spreads
-    # the md5 shingle hashing across the cluster when the input is a few
-    # fat files (a single-file scan otherwise runs it in ONE task), and
-    # the groupBy(_id) below reuses the partitioning so its exchange
-    # elides. Explicit count because AQE's size-based coalescing would
-    # collapse the byte-small doc exchange ahead of CPU-heavy work.
-    grams = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    ).select(
+    # starvation-gated hash repartition by id BEFORE the explode (see
+    # _spread_for_cpu): spreads the md5 shingle hashing when the input is
+    # a few fat files; when applied, the groupBy(_id) below reuses the
+    # partitioning so its exchange elides.
+    grams = _spread_for_cpu(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles_col(F.col(text_col), shingle_k)).alias("_g"),
     )
@@ -491,11 +503,10 @@ def simhash_signatures(
     higher-order aggregate: tokens explode to rows once, the 60 per-bit
     majority votes run as sum() aggregates inside whole-stage codegen."""
     trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))  # NULL text == ''
-    # same explicit pre-repartition as minhash_signatures: distribute the
-    # per-token md5 voting instead of letting it ride a 1-task scan
-    toks = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    ).select(
+    # same starvation-gated pre-repartition as minhash_signatures:
+    # distribute the per-token md5 voting instead of letting it ride a
+    # 1-task scan (skipped when the scan is already parallel enough)
+    toks = _spread_for_cpu(df, id_col).select(
         F.col(id_col).alias("_id"),
         (trimmed == "").alias("_blank"),
         F.explode(F.split(trimmed, r"\s+")).alias("_t"),

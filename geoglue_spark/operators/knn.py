@@ -126,6 +126,10 @@ def knn_join(
     density, or pass ``strict=True`` to raise instead (costs one extra
     aggregation on the final stage).
     """
+    if topk not in ("window", "hashagg"):
+        raise ValueError(
+            f"topk must be 'window' or 'hashagg', got {topk!r}"
+        )
     id_cols = id_cols or [c for c in points.columns if c not in (lon_col, lat_col)]
     # small centroid sets: one bucket-join + one window beats staged
     # escalation (each stage adds a window shuffle + an anti-join)

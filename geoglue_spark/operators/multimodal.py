@@ -264,8 +264,14 @@ def image_quality_stats(images: DataFrame, carry: tuple[str, ...] = ()) -> DataF
     from ..images import gray_entropy, sharpness
 
     cols = ["image_id", *carry]
+    # carry columns keep their INPUT types (same pattern as decode_stats:
+    # hardcoding `string` would crash Arrow serialization on an int carry)
+    in_fields = {f.name: f.dataType.simpleString() for f in images.schema}
+    missing = [c for c in carry if c not in in_fields]
+    if missing:
+        raise ValueError(f"image_quality_stats carry column(s) {missing} not in input")
     schema = (
-        ", ".join(["image_id string"] + [f"{c} string" for c in carry])
+        ", ".join(["image_id string"] + [f"{c} {in_fields[c]}" for c in carry])
         + ", sharpness double, entropy double, mean_val double, std_val double"
     )
 

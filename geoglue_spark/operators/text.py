@@ -262,11 +262,16 @@ def top_ngram_stats(
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
     )
+    # explode_outer, NOT explode: a doc with < n tokens (or empty/NULL
+    # text) must survive as a zero-fraction row — the curation-gate
+    # pattern `join(stats.filter(frac < t), left_semi)` would otherwise
+    # silently DROP short documents from the corpus. (contamination_
+    # overlap made the same choice; the retention contracts now agree.)
     ex = df.select(
         F.col(id_col),
         *[F.col(c) for c in carry],
         F.length(F.col(text_col)).alias("_chars"),
-        F.explode(grams).alias("_g"),
+        F.explode_outer(grams).alias("_g"),
     )
     counts = ex.groupBy(id_col, *carry, "_chars", "_g").agg(
         F.count("*").alias("_cnt")
@@ -286,10 +291,13 @@ def top_ngram_stats(
         id_col,
         *carry,
         F.col("_g").alias("top_ngram"),
-        F.col("_cnt").alias("top_ngram_count"),
+        F.when(F.col("_g").isNull(), F.lit(0))
+        .otherwise(F.col("_cnt"))
+        .cast("long")
+        .alias("top_ngram_count"),
         F.round(
             F.when(
-                F.col("_chars") > 0,
+                F.col("_g").isNotNull() & (F.col("_chars") > 0),
                 F.col("_cnt") * F.length("_g") / F.col("_chars"),
             ).otherwise(F.lit(0.0)),
             6,
@@ -497,9 +505,21 @@ def pack_sequences(
     offsets. Output adds (n_tokens, shard_id).
 
     ``token_col`` supplies pre-computed counts; otherwise whitespace
-    tokens of ``text_col`` are counted JVM-side."""
+    tokens of ``text_col`` are counted JVM-side.
+
+    ``id_col`` must be NUMERIC: buckets and shard contiguity derive from
+    integer division of the id (a string id would cast to NULL buckets —
+    silent total data loss — or throw under ANSI). Raises TypeError up
+    front instead."""
     from pyspark.sql import Window as W
 
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise TypeError(
+            f"pack_sequences requires a numeric id_col for bucket/shard "
+            f"ordering; {id_col!r} is {id_type!r} — derive a numeric key "
+            f"first (e.g. monotonically increasing id or a parsed suffix)"
+        )
     toks = (
         F.col(token_col)
         if token_col
@@ -515,10 +535,13 @@ def pack_sequences(
     )
     local = base.withColumn("_cum", F.sum("_nt").over(w))
     # per-bucket totals: tiny (one row per bucket_size docs); exclusive
-    # prefix offsets computed on the driver stay O(n_buckets) scalars
+    # prefix offsets computed on the driver stay O(n_buckets) scalars.
+    # Aggregated from `base`, NOT `local`: the eager collect must not pay
+    # the per-bucket window sort (plain sum needs no ordering), and
+    # `local` is recomputed in the returned plan anyway.
     totals = sorted(
         (r._bkt, r.t)
-        for r in local.groupBy("_bkt").agg(F.sum("_nt").alias("t")).collect()
+        for r in base.groupBy("_bkt").agg(F.sum("_nt").alias("t")).collect()
     )
     off, acc = {}, 0
     for b, t in totals:

@@ -324,7 +324,11 @@ def interval_join(
     hi = F.floor((e_ep - F.lit(1e-9)) / b).cast("long")
     n_buckets = hi - lo + 1
     guard = F.when(
-        n_buckets < 1, F.array().cast("array<long>")
+        # NULL bounds first: a NULL start/end makes n_buckets NULL, and
+        # NULL falls through BOTH range whens into raise_error — a dirty
+        # interval row would abort the whole job with a misleading
+        # fan-out message. NULL-bounded intervals match no point: drop.
+        n_buckets.isNull() | (n_buckets < 1), F.array().cast("array<long>")
     ).when(
         n_buckets <= max_fanout, F.sequence(lo, hi)
     ).otherwise(

@@ -212,7 +212,10 @@ ex AS (
   FROM points GROUP BY 1
 )
 SELECT admin_id, median_value, p90_value, approx_median_value, approx_p90_value
-FROM ex JOIN ap USING (admin_id)
+-- LEFT join: ap only has admins with >=1 non-NULL value, while the Spark
+-- side emits every assigned admin (NULL quantiles for all-NULL groups) —
+-- an inner join would drop such an admin from the oracle only
+FROM ex LEFT JOIN ap USING (admin_id)
 """
 
 

@@ -150,3 +150,17 @@ def test_filter_pairs_by_cosine(spark):
     # no shuffle, no Python in the plan
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_image_quality_stats_typed_carry(spark):
+    """Carry columns keep their input types (an int carry hardcoded as
+    string crashed Arrow serialization before the fix)."""
+    imgs = images_table(spark, 8).withColumn(
+        "label", (F.length("image_id") + F.col("w")).cast("int")
+    )
+    out = image_quality_stats(imgs, carry=("label",))
+    assert dict(out.dtypes)["label"] == "int"
+    rows = out.collect()
+    assert rows and all(isinstance(r.label, int) for r in rows)
+    with pytest.raises(ValueError, match="carry column"):
+        image_quality_stats(imgs, carry=("nope",)).collect()

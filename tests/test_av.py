@@ -291,3 +291,16 @@ def test_av_fixture_truth_alignment():
     vt = pd.read_parquet(video_truth_parquet(9))
     assert set(v.video_id) == set(vt.video_id)
     assert (vt.groupby("video_id").frame_idx.count() >= 4).all()
+
+
+def test_mjpeg_truncated_inside_length_field_raises():
+    """A stream cut 1-3 bytes into a segment's 2-byte length must raise
+    the documented ValueError, not an opaque struct.error."""
+    frame = np.zeros((8, 8), dtype=np.uint8)
+    buf = encode_mjpeg(frame[None])
+    # cut right after the first non-standalone marker byte pair: SOI(2) +
+    # APP0 marker(2) leaves the parser needing APP0's length field
+    with pytest.raises(ValueError, match="EOI"):
+        decode_mjpeg(buf[:4])
+    with pytest.raises(ValueError, match="EOI"):
+        decode_mjpeg(buf[:5])

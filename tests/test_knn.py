@@ -162,3 +162,13 @@ def test_knn_fast_path_matches_window_and_bruteforce(spark, cents):
             row = by_pid.loc[(pid, rk)]
             assert row.admin_id == want_admin, (pid, rk)
             assert abs(row.dist_km - want_dist) < 1e-9, (pid, rk)
+
+
+def test_knn_join_rejects_unknown_topk(spark):
+    grid = Grid(x0=0.0, dx=1.0, nx=4, y0=0.0, dy=1.0, ny=4)
+    pts = spark.createDataFrame([(1, 0.5, 0.5)], "pid long, lon double, lat double")
+    cent = spark.createDataFrame(
+        [("A", 1.5, 1.5)], "admin_id string, lon double, lat double"
+    )
+    with pytest.raises(ValueError, match="topk"):
+        knn_join(pts, cent, grid, k=1, topk="hash_agg")

@@ -121,7 +121,7 @@ def test_top_ngram_stats_planted(spark):
         ("a", "buy now buy now buy now limited offer"),
         ("b", "every word appears once only here"),
         ("c", "tie aa tie bb tie aa tie bb"),  # 'aa tie'/'bb tie'/'tie aa'/'tie bb' ties
-        ("d", "one"),  # shorter than n=2 -> no grams, absent from output
+        ("d", "one"),  # shorter than n=2 -> zero-fraction row, RETAINED
         ("e", ""),
     ]
     df = spark.createDataFrame(docs, "doc_id string, text string")
@@ -129,11 +129,13 @@ def test_top_ngram_stats_planted(spark):
         r.doc_id: (r.top_ngram, r.top_ngram_count, r.top_ngram_char_frac)
         for r in TX.top_ngram_stats(df, "text", "doc_id", n=2).collect()
     }
-    assert "d" not in out and "e" not in out
+    # short/empty docs survive as zero rows (a gate joining on
+    # frac < threshold must not silently drop them)
+    assert out["d"] == (None, 0, 0.0) and out["e"] == (None, 0, 0.0)
     for doc_id, text in docs:
         exp = py_top_ngram(text, 2)
         if exp is None:
-            assert doc_id not in out
+            assert out[doc_id] == (None, 0, 0.0)
             continue
         gram, cnt, frac = exp
         assert out[doc_id][0] == gram, doc_id
@@ -155,7 +157,11 @@ def test_top_ngram_stats_randomized_and_carry(spark):
     for doc_id, source, text in docs:
         exp = py_top_ngram(text, 3)
         if exp is None:
-            assert doc_id not in out
+            r = out[doc_id]  # retained as a zero row, carry intact
+            assert (r.top_ngram, r.top_ngram_count, r.top_ngram_char_frac) == (
+                None, 0, 0.0,
+            )
+            assert r.source == source
             continue
         gram, cnt, frac = exp
         r = out[doc_id]
@@ -370,3 +376,35 @@ def test_pack_sequences_partitioning_invariant(spark):
         for r in TX.pack_sequences(df2, budget=256, bucket_size=17).collect()
     )
     assert a == b  # same ids -> same shards under any partitioning/bucketing
+
+
+def test_top_ngram_stats_retains_short_and_empty_docs(spark):
+    """Docs with < n tokens (or empty text) must emit a ZERO-fraction row
+    — the gate pattern join(filter(frac < t), left_semi) would otherwise
+    silently drop them from the corpus."""
+    from geoglue_spark.operators.text import top_ngram_stats
+
+    df = spark.createDataFrame(
+        [(0, "single"), (1, ""), (2, "two tokens"), (3, "a a a a")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in top_ngram_stats(df, "text", "doc_id", n=2).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for short in (0, 1):
+        assert got[short].top_ngram is None
+        assert got[short].top_ngram_count == 0
+        assert got[short].top_ngram_char_frac == 0.0
+    assert got[2].top_ngram == "two tokens" and got[2].top_ngram_count == 1
+    assert got[3].top_ngram == "a a" and got[3].top_ngram_count == 3
+
+
+def test_pack_sequences_rejects_string_ids(spark):
+    """Bucketing divides the id — a string id would hash to NULL buckets
+    (silent empty output) or throw mid-job under ANSI; fail fast."""
+    from geoglue_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [("doc1", "a b c"), ("doc2", "d e")], "doc_id string, text string"
+    )
+    with pytest.raises(TypeError, match="numeric id_col"):
+        pack_sequences(df, budget=10)

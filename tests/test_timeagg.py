@@ -291,3 +291,19 @@ def test_interval_join_inverted_and_empty_intervals(spark):
     out = interval_join(p, iv, "ts", "start", "end", bucket_seconds=1,
                         max_fanout=1000)
     assert out.count() == 0
+
+
+def test_interval_join_null_bounds_dropped(spark):
+    """A NULL start/end (dirty ingest) must behave like a degenerate
+    interval — matching no point — not abort the job through the fan-out
+    raise_error branch (NULL falls through both range whens)."""
+    from geoglue_spark.operators.timeagg import interval_join
+
+    p = spark.createDataFrame([(1, 5)], "pid long, ts long")
+    iv = spark.createDataFrame(
+        [(1, None, 10), (2, 0, None), (3, 0, 10)],
+        "iid long, start long, end long",
+    )
+    out = interval_join(p, iv, "ts", "start", "end", bucket_seconds=1,
+                        max_fanout=1000)
+    assert [r.iid for r in out.collect()] == [3]
