@@ -150,3 +150,109 @@ def stratified_sample(
     ok = kept.join(bc(short), on=by, how="left_anti")
     out_cols = df.columns
     return ok.select(*out_cols).unionByName(fixed.select(*out_cols))
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    proportions: dict[str, float],
+    key_cols: list[str],
+    total_rows: int | None = None,
+    seed: int = 0,
+    prefilter_margin: float = 4.0,
+    prefilter_min_count: int = 10_000,
+) -> DataFrame:
+    """Deterministic corpus MIXING: subsample a multi-source table so the
+    output follows the target source ``proportions`` with EXACT row
+    quotas — the "data mixture" step every training run applies (e.g.
+    web 0.6 / code 0.25 / papers 0.15). Per source, the quota rows with
+    the smallest ``hash01(key_cols, seed)`` are kept, so the result is
+    partitioning-invariant, auditable (membership is recomputable from
+    the row alone), and NESTED across seeds-consistent reruns like
+    :func:`stratified_sample`.
+
+    ``total_rows=None`` auto-sizes to the LARGEST total the corpus can
+    supply at these proportions (the binding source is consumed ~whole);
+    an explicit ``total_rows`` raises up front if any source cannot fill
+    its quota. Sources absent from ``proportions`` are dropped (weight
+    0). Quotas are ``floor(p_s * total)`` after normalizing proportions.
+
+    Scale shape: one tiny per-source count aggregate (sources are
+    dim-sized by definition); quotas and hash thresholds broadcast back;
+    then the same prefilter -> window -> exact-correction machinery as
+    :func:`stratified_sample` — a mega-source's ranking window sees
+    ~margin*quota rows, never the whole source, and the correction pass
+    keeps exactness unconditional."""
+    props = {k: float(v) for k, v in proportions.items() if v > 0}
+    if not props:
+        raise ValueError("proportions must contain at least one positive weight")
+    norm = sum(props.values())
+    props = {k: v / norm for k, v in props.items()}
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+        if r[0] in props
+    }
+    missing = sorted(set(props) - set(counts))
+    if missing:
+        raise ValueError(f"sources {missing} have no rows in {source_col!r}")
+    max_total = min(int(counts[s] / p) for s, p in props.items())
+    total = max_total if total_rows is None else int(total_rows)
+    quotas = {s: int(p * total) for s, p in props.items()}
+    infeasible = {s: q for s, q in quotas.items() if q > counts[s]}
+    if infeasible:
+        raise ValueError(
+            f"total_rows={total} demands more rows than exist for "
+            f"{infeasible} (available: {counts}); max feasible total is "
+            f"{max_total}"
+        )
+    quota_rows = [
+        (
+            s,
+            q,
+            min(1.0, (prefilter_margin * q + 64.0) / counts[s])
+            if counts[s] > max(prefilter_min_count, q)
+            else 1.0,
+        )
+        for s, q in quotas.items()
+        if q > 0
+    ]
+    spark = df.sparkSession
+    src_type = dict(df.dtypes)[source_col]
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            quota_rows, f"{source_col} {src_type}, _quota long, _thr double"
+        )
+    )
+    keys = [F.col(c) for c in key_cols]
+    base = df.join(qdf, source_col).withColumn(
+        "_u", _hash01(keys, seed)
+    )
+    w = W.partitionBy(source_col).orderBy(F.col("_u"), *keys)
+    kept = (
+        base.filter(F.col("_u") < F.col("_thr"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_quota"))
+    )
+    # exact correction: a source whose prefilter bit below its quota is
+    # re-ranked without the prefilter (quota <= count is guaranteed above,
+    # so "kept < quota" is the complete short condition). LEFT join FROM
+    # the quota table: a source whose EVERY row failed the prefilter has
+    # no kept rows at all, and grouping kept alone would hide it.
+    short = (
+        qdf.join(
+            kept.groupBy(source_col).agg(F.count("*").alias("_kept")),
+            source_col,
+            "left",
+        )
+        .filter(F.coalesce(F.col("_kept"), F.lit(0)) < F.col("_quota"))
+        .select(source_col)
+    )
+    fixed = (
+        base.join(F.broadcast(short), source_col, "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_quota"))
+    )
+    ok = kept.join(F.broadcast(short), source_col, "left_anti")
+    out_cols = df.columns
+    return ok.select(*out_cols).unionByName(fixed.select(*out_cols))

@@ -134,3 +134,98 @@ def test_stratified_sample_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def _mix_fixture(spark, n=3000):
+    # deterministic skew: 60% web / 30% code / 10% papers
+    rows = [
+        (i, "web" if i % 10 < 6 else ("code" if i % 10 < 9 else "papers"))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string"), rows
+
+
+def test_mix_sources_exact_quotas_and_hash_order(spark):
+    """Quotas are exact floor(p*total); the kept set per source is the
+    quota smallest hash01 values (verified against Spark-recomputed
+    hashes sorted in Python); membership is partitioning-invariant."""
+    from geoglue_spark.operators.sample import _hash01, mix_sources
+
+    df, rows = _mix_fixture(spark)
+    props = {"web": 0.5, "code": 0.3, "papers": 0.2}
+    out = mix_sources(df, "source", props, ["doc_id"], total_rows=1000, seed=4)
+    got = {r.doc_id for r in out.collect()}
+    by_src = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src == {"web": 500, "code": 300, "papers": 200}
+
+    hashes = {
+        r.doc_id: (r.source, r.u)
+        for r in df.select(
+            "doc_id", "source", _hash01([F.col("doc_id")], 4).alias("u")
+        ).collect()
+    }
+    want = set()
+    for src, q in (("web", 500), ("code", 300), ("papers", 200)):
+        ranked = sorted(
+            (u, i) for i, (s, u) in hashes.items() if s == src
+        )[:q]
+        want |= {i for _, i in ranked}
+    assert got == want
+
+    repart = mix_sources(
+        df.repartition(17), "source", props, ["doc_id"], total_rows=1000, seed=4
+    )
+    assert {r.doc_id for r in repart.collect()} == want
+
+
+def test_mix_sources_auto_total_binds_on_scarcest(spark):
+    """total_rows=None consumes the binding source: with papers at 10% of
+    rows but a 20% target, papers caps the total."""
+    from geoglue_spark.operators.sample import mix_sources
+
+    df, rows = _mix_fixture(spark)  # 1800 web / 900 code / 300 papers
+    props = {"web": 0.5, "code": 0.3, "papers": 0.2}
+    out = mix_sources(df, "source", props, ["doc_id"])
+    by_src = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    total = 300 * 5  # papers binds: 300 / 0.2
+    assert by_src == {"web": total // 2, "code": int(total * 0.3), "papers": 300}
+
+
+def test_mix_sources_validation(spark):
+    from geoglue_spark.operators.sample import mix_sources
+
+    df, _ = _mix_fixture(spark)
+    with pytest.raises(ValueError, match="more rows than exist"):
+        mix_sources(df, "source", {"web": 0.5, "papers": 0.5}, ["doc_id"],
+                    total_rows=2000)
+    with pytest.raises(ValueError, match="no rows"):
+        mix_sources(df, "source", {"web": 0.5, "books": 0.5}, ["doc_id"])
+    with pytest.raises(ValueError, match="positive weight"):
+        mix_sources(df, "source", {"web": 0.0}, ["doc_id"])
+    # weight-0 sources are dropped entirely
+    out = mix_sources(df, "source", {"web": 1.0, "code": 0.0}, ["doc_id"],
+                      total_rows=100)
+    assert {r.source for r in out.collect()} == {"web"}
+
+
+def test_mix_sources_correction_pass_exact_under_tiny_margin(spark):
+    """Force the prefilter to bite below quota (margin ~0, min_count 0):
+    the correction pass must still deliver exact quotas."""
+    from geoglue_spark.operators.sample import mix_sources
+
+    df, _ = _mix_fixture(spark)
+    out = mix_sources(
+        df, "source", {"web": 0.5, "code": 0.5}, ["doc_id"],
+        total_rows=800, seed=9, prefilter_margin=0.0, prefilter_min_count=0,
+    )
+    by_src = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src == {"web": 400, "code": 400}
