@@ -179,9 +179,10 @@ def compact_cover(
     resolution) stay as-is.
 
     Assumes admins tessellate (no polygon overlap), like GADM: a block
-    fully interior to A cannot contain cells of B. Partial blocks at the
-    grid edge are never absorbed (the expected-cell count accounts for
-    clipping)."""
+    fully interior to A cannot contain cells of B. Blocks CLIPPED by the
+    grid edge absorb too when every cell they still contain is interior —
+    the expected-cell count shrinks to the clipped width x height, so
+    edge clipping alone never disqualifies a block."""
     b = 1 << block_shift
     nbx = (grid.nx + b - 1) // b
     with_block = cover.withColumn(

@@ -143,14 +143,28 @@ def wkb_to_rings(buf: bytes) -> Geom:
     mv = memoryview(buf)
     le = mv[0] == 1
     fmt = "<I" if le else ">I"
-    (gtype,) = struct.unpack_from(fmt, mv, 1)
-    gtype &= 0xFF  # strip any SRID/dimension flags
+    (gtype_raw,) = struct.unpack_from(fmt, mv, 1)
+    # EWKB flag handling must be EXPLICIT: masking flags off blindly would
+    # accept Z/M payloads whose XYZ triples deinterleave as garbage (lon,
+    # lat) pairs, and an SRID word would be read as a ring count. 2D-only:
+    # Z/M raise; an SRID is skipped.
+    if gtype_raw & 0xC0000000:
+        raise ValueError(
+            "EWKB Z/M geometry not supported (2D polygons only)"
+        )
+    has_srid = bool(gtype_raw & 0x20000000)
+    gtype = gtype_raw & 0x1FFFFFFF
+    if gtype >= 1000:  # ISO WKB Z/M/ZM variants (base type + 1000/2000/3000)
+        raise ValueError(
+            f"ISO WKB Z/M geometry type {gtype} not supported (2D only)"
+        )
+    hdr = 5 + (4 if has_srid else 0)  # byte order + type (+ SRID word)
     if gtype == _WKB_POLYGON:
-        poly, _ = _read_poly(mv, 5, le)
+        poly, _ = _read_poly(mv, hdr, le)
         return [poly]
     if gtype == _WKB_MULTIPOLYGON:
-        (npolys,) = struct.unpack_from(fmt, mv, 5)
-        off = 9
+        (npolys,) = struct.unpack_from(fmt, mv, hdr)
+        off = hdr + 4
         geom: Geom = []
         for _ in range(npolys):
             sub_le = mv[off] == 1

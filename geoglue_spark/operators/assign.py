@@ -58,28 +58,6 @@ def _prepared(token: str, bc, admin_id: str) -> PreparedGeom:
     return prep
 
 
-def make_pip_udf(spark: SparkSession, admin_wkb: dict[str, bytes]):
-    """Boolean pandas UDF ``inside(admin_id, lon, lat)``.
-
-    Polygons ship once per executor via a broadcast variable; within each
-    Arrow batch, rows are grouped by admin and each group is tested in one
-    vectorized NumPy ray-cast (no per-row Python)."""
-    bc = spark.sparkContext.broadcast(admin_wkb)
-    token = uuid.uuid4().hex
-
-    @F.pandas_udf(T.BooleanType())
-    def pip_udf(admin_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
-        out = np.zeros(len(admin_id), dtype=bool)
-        lon_np = lon.to_numpy(np.float64)
-        lat_np = lat.to_numpy(np.float64)
-        for aid, idx in admin_id.groupby(admin_id).groups.items():
-            ii = np.asarray(idx)
-            out[ii] = points_in_geom(lon_np[ii], lat_np[ii], _prepared(token, bc, aid))
-        return pd.Series(out)
-
-    return pip_udf
-
-
 def make_keep_udf(spark: SparkSession, admin_wkb: dict[str, bytes]):
     """Boolean pandas UDF ``keep(admin_id, interior, lon, lat)`` — the
     single-pass assignment kernel.
@@ -239,6 +217,13 @@ def assign_tiles_fractional(
     anyway) or pre-aggregating footprints.
     """
     id_cols = id_cols or [c for c in tiles.columns if c not in (lon_col, lat_col)]
+    if not id_cols:
+        raise ValueError(
+            "assign_tiles_fractional needs at least one tile-identifying "
+            "column: with no id_cols the per-admin groupBy would sum "
+            "_contrib across EVERY tile, silently violating the "
+            "frac in (0, 1] contract — add a tile id or pass id_cols"
+        )
     hw, hh = tile_w_deg / 2.0, tile_h_deg / 2.0
     fanout = (int(tile_w_deg / grid.dx) + 2) * (int(tile_h_deg / grid.dy) + 2)
     if fanout > max_fanout:

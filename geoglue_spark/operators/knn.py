@@ -23,7 +23,6 @@ predicate). Rows stop expanding early via the ring-by-ring iteration in
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
@@ -52,7 +51,7 @@ def admin_centroids(admins: DataFrame, geometry_col: str = "geometry") -> DataFr
     def cent(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for r in pdf.itertuples(index=False):
-            geom = wkb_to_rings(bytes(r.geometry))
+            geom = wkb_to_rings(bytes(getattr(r, geometry_col)))
             outers = []
             for poly in geom:
                 ring = poly[0]
@@ -131,6 +130,13 @@ def knn_join(
             f"topk must be 'window' or 'hashagg', got {topk!r}"
         )
     id_cols = id_cols or [c for c in points.columns if c not in (lon_col, lat_col)]
+    if not id_cols:
+        raise ValueError(
+            "knn_join needs at least one point-identifying column: with no "
+            "id_cols the per-point ranking window would be GLOBAL (k rows "
+            "total, not k per point) — add a point id to the frame or pass "
+            "id_cols explicitly"
+        )
     # small centroid sets: one bucket-join + one window beats staged
     # escalation (each stage adds a window shuffle + an anti-join)
     if len(ring_batches) > 1 and assume_small:
@@ -224,7 +230,7 @@ def knn_join(
             )
         w = Window.partitionBy(*id_cols).orderBy(F.col("dist_km"), F.col("admin_id"))
         whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        topk = (
+        ranked = (
             cand.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .withColumn("_kth_dist", F.max("dist_km").over(whole))
@@ -232,7 +238,7 @@ def knn_join(
         )
         is_last = stage == len(ring_batches) - 1
         if is_last:
-            settled = topk
+            settled = ranked
             if strict:
                 # exactness proof for the final ring too: raise if ANY point
                 # is unproven — k-th kept distance not strictly inside the
@@ -247,7 +253,7 @@ def knn_join(
                     * F.least(F.lit(float(grid.dy)), F.lit(float(grid.dx)) * worst_cos_l)
                 )
                 proven = (
-                    topk.filter((F.col("_n") >= k) & (F.col("_kth_dist") < lb_l))
+                    ranked.filter((F.col("_n") >= k) & (F.col("_kth_dist") < lb_l))
                     .select(*id_cols)
                     .distinct()
                 )
@@ -278,7 +284,7 @@ def knn_join(
                 * F.lit(deg_km)
                 * F.least(F.lit(float(grid.dy)), F.lit(float(grid.dx)) * worst_cos)
             )
-            settled = topk.filter((F.col("_n") >= k) & (F.col("_kth_dist") < lb_km))
+            settled = ranked.filter((F.col("_n") >= k) & (F.col("_kth_dist") < lb_km))
         settled_out = settled.select(
             *id_cols, "admin_id", F.col("rk").cast("int").alias("rk"),
             F.round("dist_km", 6).alias("dist_km"),

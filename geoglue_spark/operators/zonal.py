@@ -15,6 +15,8 @@ exact percentile) where partials don't collapse.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -35,8 +37,8 @@ ZONAL_OPS = (
     "approx_quantile",  # parameterized: "approx_quantile(0.9)"
 )
 
-_QUANTILE_RE = __import__("re").compile(r"^quantile\((0(\.\d+)?|1(\.0+)?)\)$")
-_APPROX_QUANTILE_RE = __import__("re").compile(
+_QUANTILE_RE = re.compile(r"^quantile\((0(\.\d+)?|1(\.0+)?)\)$")
+_APPROX_QUANTILE_RE = re.compile(
     r"^approx_quantile\((0(\.\d+)?|1(\.0+)?)\)$"
 )
 
@@ -278,9 +280,37 @@ def raster_zonal_stats(
         cov_w = cov_w * grid.cell_area_km2_col(F.col("cell_id"))
     w = cov_w
     if weights is not None:
-        wpx = weights.withColumn(
-            "cell_id", grid.cell_id_col(F.col(lon_col), F.col(lat_col))
-        ).select("cell_id", F.col("weight").alias("_wraster"))
+        # aggregate to ONE row per cell with an in-plan duplicate trap: a
+        # weights frame carrying an extra dimension (e.g. a time axis)
+        # would otherwise fan out every matching value row and silently
+        # inflate count/sum/mean. max() == the value when unique; the
+        # raise fires lazily on the first duplicate cell.
+        wpx = (
+            weights.withColumn(
+                "cell_id", grid.cell_id_col(F.col(lon_col), F.col(lat_col))
+            )
+            .groupBy("cell_id")
+            .agg(
+                F.max("weight").alias("_wmax"),
+                F.count("*").alias("_nw"),
+            )
+            .select(
+                "cell_id",
+                F.when(
+                    F.col("_nw") > 1,
+                    F.raise_error(
+                        F.format_string(
+                            "raster_zonal_stats: weights raster has %s rows "
+                            "for cell_id %s — it must be a single 2-D "
+                            "raster (one row per cell); slice or aggregate "
+                            "the extra dimension first",
+                            F.col("_nw").cast("string"),
+                            F.col("cell_id").cast("string"),
+                        )
+                    ).cast("double"),
+                ).otherwise(F.col("_wmax")).alias("_wraster"),
+            )
+        )
         joined = joined.join(wpx, "cell_id", "left").withColumn(
             "_wraster", F.coalesce(F.col("_wraster"), F.lit(0.0))  # default_weight=0
         )

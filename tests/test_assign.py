@@ -320,3 +320,17 @@ def test_tile_fractional_edge_aligned_cases(spark, fancy_setup):
     for pid in (0, 1, 2):
         np.testing.assert_allclose(tot[pid], 1.0, rtol=1e-12)
     assert 3 not in tot.index or tot[3] <= 0.5 + 1e-12
+
+
+def test_assign_tiles_fractional_requires_tile_ids(spark):
+    import pytest
+
+    from geoglue_spark.operators.assign import assign_tiles_fractional
+
+    tiles = spark.createDataFrame([(0.5, 0.5)], "lon double, lat double")
+    cover = spark.createDataFrame(
+        [(0, "A", True)], "cell_id long, admin_id string, interior boolean"
+    )
+    grid = Grid(x0=0.0, dx=1.0, nx=4, y0=0.0, dy=1.0, ny=4)
+    with pytest.raises(ValueError, match="id_cols"):
+        assign_tiles_fractional(tiles, cover, grid, 1.0, 1.0)

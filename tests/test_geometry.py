@@ -51,3 +51,26 @@ def test_bbox_algebra():
     pole = Bbox(0, 80, 1, 81).geodetic_area_km2()
     assert eq > pole > 0
     assert abs(a.overlap_fraction(b) - Bbox(5, 5, 10, 10).geodetic_area_km2() / a.geodetic_area_km2()) < 1e-12
+
+
+def test_wkb_ewkb_srid_skipped_and_zm_rejected():
+    """EWKB SRID payloads parse (the 4-byte SRID word is skipped), while
+    Z/M payloads — EWKB-flagged or ISO type+1000 — raise instead of
+    deinterleaving XYZ triples as (lon, lat) garbage."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (0.0, 0.0)]
+    body = struct.pack("<I", 1) + struct.pack("<I", len(ring))
+    for x, y in ring:
+        body += struct.pack("<dd", x, y)
+    ewkb_srid = b"\x01" + struct.pack("<I", 3 | 0x20000000) + struct.pack("<i", 4326) + body
+    geom = wkb_to_rings(ewkb_srid)
+    assert len(geom) == 1 and np.allclose(geom[0][0], np.array(ring))
+
+    with pytest.raises(ValueError, match="Z/M"):
+        wkb_to_rings(b"\x01" + struct.pack("<I", 3 | 0x80000000) + body)
+    with pytest.raises(ValueError, match="Z/M"):
+        wkb_to_rings(b"\x01" + struct.pack("<I", 1003) + body)

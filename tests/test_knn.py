@@ -172,3 +172,24 @@ def test_knn_join_rejects_unknown_topk(spark):
     )
     with pytest.raises(ValueError, match="topk"):
         knn_join(pts, cent, grid, k=1, topk="hash_agg")
+
+
+def test_knn_join_requires_point_ids(spark):
+    grid = Grid(x0=0.0, dx=1.0, nx=4, y0=0.0, dy=1.0, ny=4)
+    pts = spark.createDataFrame([(0.5, 0.5)], "lon double, lat double")
+    cent = spark.createDataFrame(
+        [("A", 1.5, 1.5)], "admin_id string, lon double, lat double"
+    )
+    with pytest.raises(ValueError, match="id_cols"):
+        knn_join(pts, cent, grid, k=1)
+
+
+def test_admin_centroids_respects_geometry_col(spark):
+    from geoglue_spark.geometry import rings_to_wkb
+    from geoglue_spark.operators.knn import admin_centroids
+
+    sq = [[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]]
+    wkb = rings_to_wkb([[np.array(sq[0])]])
+    df = spark.createDataFrame([("A", bytearray(wkb))], "admin_id string, geom binary")
+    got = admin_centroids(df, geometry_col="geom").collect()[0]
+    assert (got.clon, got.clat) == (1.0, 1.0)

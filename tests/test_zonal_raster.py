@@ -328,3 +328,25 @@ def test_approx_quantile_rank_rule_adversarial(spark):
                        (1.0, "approx_quantile(1.0)")):
             expect = s[max(1, int(np.ceil(q * n))) - 1]
             assert got[g][col] == expect, (g, q, got[g][col], expect)
+
+
+def test_weights_raster_duplicate_cells_raise(spark, setup):
+    """A weights frame with more than one row per cell (e.g. a forgotten
+    time axis) must raise, not silently fan out and inflate aggregates."""
+    import pytest
+
+    admins, cover, pixels = setup
+    w1 = _pop_weights_df(spark)
+    res_unique = {
+        r.admin_id: r.weighted_mean
+        for r in raster_zonal_stats(
+            pixels, cover, GRID, ops=["weighted_mean"], weights=w1
+        ).collect()
+    }
+    assert res_unique  # single raster path still works
+
+    dup = w1.union(w1.limit(5))
+    with pytest.raises(Exception, match="single 2-D raster|raise_error|rows"):
+        raster_zonal_stats(
+            pixels, cover, GRID, ops=["weighted_mean"], weights=dup
+        ).collect()
