@@ -144,6 +144,12 @@ def read_geotiff(path: str, band: int = 0) -> GeoTiff:
     georeferencing. Supports stripped and tiled layouts, compression
     1/5/8/32946, predictors 1/2/3, one sample per pixel (the DEM /
     population-raster shape the reference consumes)."""
+    if band != 0:
+        raise NotImplementedError(
+            "read_geotiff parses the first IFD only (band 0); a multi-band "
+            "TIFF needs an IFD-chain walk — split bands into files or "
+            "extend the reader"
+        )
     with open(path, "rb") as fh:
         buf = fh.read()
     if buf[:2] == b"II":
@@ -307,9 +313,9 @@ def read_geotiff_distributed(spark, paths: list[str], value_col: str = "value"):
                     }
                 )
 
-    plist = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
-        max(1, min(len(paths), spark.sparkContext.defaultParallelism))
-    )
+    from .pool import distribute_paths
+
+    plist = distribute_paths(spark, paths)
     return plist.mapInPandas(
         parse, f"src string, lon double, lat double, {value_col} double"
     )

@@ -126,7 +126,13 @@ def parse_grib1(path: str, params: set[int] | None = None) -> list[GribRecord]:
             scan_neg_j = not (scan & 0x40)
             lat0, lon0 = la1, lo1
             dlat = abs(la2 - la1) / max(nj - 1, 1)
-            dlon = abs(lo2 - lo1) / max(ni - 1, 1)
+            # longitude span wraps at the antimeridian (GRIB permits
+            # lo2 < lo1 across 180°): a Fiji-like grid with lo1=177,
+            # lo2=-177 spans 6°, not 354°
+            _lspan = abs(lo2 - lo1)
+            if _lspan > 180.0:
+                _lspan = 360.0 - _lspan
+            dlon = _lspan / max(ni - 1, 1)
             q += gds_len
         if flags & 0x40:  # BMS present
             bms_len = _i3(msg, q)
@@ -202,9 +208,9 @@ def read_grib1_distributed(spark, paths: list[str], params: set[int] | None = No
             for p in pdf["path"]:
                 yield _records_to_pdf(parse_grib1(p, params), src=p)
 
-    plist = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
-        max(1, min(len(paths), spark.sparkContext.defaultParallelism))
-    )
+    from .pool import distribute_paths
+
+    plist = distribute_paths(spark, paths)
     return plist.mapInPandas(
         parse,
         "src string, var string, time timestamp, lon double, lat double, value double",

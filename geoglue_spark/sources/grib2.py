@@ -126,6 +126,17 @@ def parse_grib2(path: str, params: set[str] | None = None) -> list[GribRecord]:
             slen = _u32(msg, p)
             snum = msg[p + 4]
             s = msg[p : p + slen]
+            # param filter BEFORE the expensive sections: once section 4
+            # names the variable, filtered-out messages skip the
+            # bit-unpacking of sections 5-7 entirely (the dominant
+            # per-message cost; grib1 applies the same pre-decode skip)
+            if snum >= 5 and params is not None and cat is not None:
+                _name = G2_PARAM_NAMES.get(
+                    (discipline, cat, num, surf), f"p{discipline}.{cat}.{num}"
+                )
+                if _name not in params:
+                    p += slen
+                    continue
             if snum == 1:
                 ref_time = datetime.datetime(
                     _u16(s, 12), s[14], s[15], s[16], s[17], s[18]
@@ -141,13 +152,25 @@ def parse_grib2(path: str, params: set[str] | None = None) -> list[GribRecord]:
                 la1 = _sm32(s, 46) / 1e6
                 lo1 = _sm32(s, 50) / 1e6
                 la2 = _sm32(s, 55) / 1e6
-                di = _u32(s, 63) / 1e6
-                dj = _u32(s, 67) / 1e6
+                lo2 = _sm32(s, 59) / 1e6
+                # Di/Dj "missing" is ALL-ONES (0xFFFFFFFF), not 0 — a
+                # truthiness test would accept the 4294.967295 sentinel as
+                # a real increment and corrupt every coordinate. Fall back
+                # to the la2/lo2 span (lon wraps mod 360 for antimeridian
+                # grids) when either increment is missing or zero.
+                di_raw = _u32(s, 63)
+                dj_raw = _u32(s, 67)
                 scan = s[71]
                 scan_neg_j = not (scan & 0x40)
                 lat0, lon0 = la1, lo1
-                dlat = dj if dj else abs(la2 - la1) / max(nj - 1, 1)
-                dlon = di
+                if dj_raw not in (0, 0xFFFFFFFF):
+                    dlat = dj_raw / 1e6
+                else:
+                    dlat = abs(la2 - la1) / max(nj - 1, 1)
+                if di_raw not in (0, 0xFFFFFFFF):
+                    dlon = di_raw / 1e6
+                else:
+                    dlon = ((lo2 - lo1) % 360.0) / max(ni - 1, 1)
             elif snum == 4:
                 tmpl = _u16(s, 7)
                 if tmpl not in (0, 8):
@@ -241,9 +264,9 @@ def read_grib2_distributed(spark, paths: list[str], params: set[str] | None = No
             for p in pdf["path"]:
                 yield _records_to_pdf(parse_grib2(p, params), src=p)
 
-    plist = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
-        max(1, min(len(paths), spark.sparkContext.defaultParallelism))
-    )
+    from .pool import distribute_paths
+
+    plist = distribute_paths(spark, paths)
     return plist.mapInPandas(
         parse,
         "src string, var string, time timestamp, lon double, lat double, value double",

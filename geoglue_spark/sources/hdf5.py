@@ -552,11 +552,22 @@ def _cf_unpack(ds: H5Dataset, arr: np.ndarray) -> np.ndarray:
 
 
 def decode_time(vals: np.ndarray, units: str) -> np.ndarray:
-    """CF time decode for the common epoch forms ('<unit> since <stamp>')."""
+    """CF time decode for the common epoch forms ('<unit> since <stamp>').
+
+    Coordinates stay FLOAT until the final whole-second rounding: CF
+    allows fractional values ('0.5 days' = noon — common for daily means)
+    and an int64 cast would silently truncate them up to 23h59m. Singular
+    unit names ('day since ...') are CF-legal too."""
     unit, _, rest = units.partition(" since ")
     base = np.datetime64(rest.strip().replace(" ", "T").rstrip("Z"), "s")
-    step = {"seconds": 1, "hours": 3600, "days": 86400, "minutes": 60}[unit.strip()]
-    return base + (np.asarray(vals, np.int64) * step).astype("timedelta64[s]")
+    key = unit.strip().lower()
+    if not key.endswith("s"):
+        key += "s"
+    steps = {"seconds": 1, "hours": 3600, "days": 86400, "minutes": 60}
+    if key not in steps:
+        raise ValueError(f"unsupported CF time unit {unit.strip()!r} in {units!r}")
+    secs = np.rint(np.asarray(vals, np.float64) * steps[key]).astype(np.int64)
+    return base + secs.astype("timedelta64[s]")
 
 
 def netcdf4_to_pixels(
@@ -626,25 +637,38 @@ def read_netcdf4_distributed(
                     arr = arr[None, ...]
                 lon = np.asarray(f.datasets[lon_name].read(), np.float64)
                 lat = np.asarray(f.datasets[lat_name].read(), np.float64)
+                if arr.shape[-2:] != (lat.size, lon.size):
+                    raise ValueError(
+                        f"{var}: expected trailing (lat, lon) = "
+                        f"({lat.size}, {lon.size}), got {arr.shape} — a "
+                        "transposed variable would silently scramble pixels"
+                    )
                 glon, glat = np.meshgrid(lon, lat)
-                t = f.datasets[time_name]
-                times = decode_time(
-                    t.read(), t.attrs.get("units", "seconds since 1970-01-01")
-                )
+                # time-less 2-D rasters carry NULL time — the SAME schema
+                # as read_netcdf3_distributed so mixed-container archives
+                # union cleanly (previously a KeyError here broke parity)
+                times = None
+                if time_name in f.datasets:
+                    t = f.datasets[time_name]
+                    times = decode_time(
+                        t.read(), t.attrs.get("units", "seconds since 1970-01-01")
+                    )
                 for i in range(arr.shape[0]):
                     yield pd.DataFrame(
                         {
                             "src": p,
-                            "time": pd.Timestamp(times[i]),
+                            "time": pd.Timestamp(times[i])
+                            if times is not None
+                            else pd.NaT,
                             "lon": glon.ravel(),
                             "lat": glat.ravel(),
                             "value": arr[i].ravel(),
                         }
                     )
 
-    plist = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
-        max(1, min(len(paths), spark.sparkContext.defaultParallelism))
-    )
+    from .pool import distribute_paths
+
+    plist = distribute_paths(spark, paths)
     return plist.mapInPandas(
         parse, "src string, time timestamp, lon double, lat double, value double"
     )

@@ -369,6 +369,15 @@ def read_netcdf3_distributed(spark, paths: list[str], var: str, **names):
                     )
                 lon = np.asarray(nc.data[lon_name], np.float64)
                 lat = np.asarray(nc.data[lat_name], np.float64)
+                # same trailing-dims guard as netcdf3_to_pixels: a
+                # transposed variable reshapes cleanly (sizes divide) but
+                # pairs every value with the wrong (lon, lat)
+                dim_names = [nc.dims[d][0] for d in v.dim_ids]
+                if dim_names[-2:] != [lat_name, lon_name]:
+                    raise ValueError(
+                        f"{var}: expected trailing dims ({lat_name}, "
+                        f"{lon_name}), got {dim_names}"
+                    )
                 glon, glat = np.meshgrid(lon, lat)
                 flat = arr.reshape(-1, glon.size)
                 # CF time decode, same rules as netcdf3_to_pixels: a time
@@ -402,9 +411,9 @@ def read_netcdf3_distributed(spark, paths: list[str], var: str, **names):
                         }
                     )
 
-    plist = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
-        max(1, min(len(paths), spark.sparkContext.defaultParallelism))
-    )
+    from .pool import distribute_paths
+
+    plist = distribute_paths(spark, paths)
     return plist.mapInPandas(
         parse, "src string, time timestamp, lon double, lat double, value double"
     )

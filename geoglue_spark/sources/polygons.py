@@ -118,6 +118,10 @@ def read_geojsonl(
     if check_pk:
         from pyspark.sql import functions as F
 
+        # cache around the eager gate: without it the full distributed
+        # JSON parse runs once for this count and AGAIN for the caller's
+        # first real action — doubled ingest cost at footprint scale
+        out = out.cache()
         row = out.agg(
             F.count("*").alias("n"), F.count_distinct("admin_id").alias("d")
         ).collect()[0]
@@ -184,7 +188,7 @@ def _read_shp(path: str) -> list[Geom | None]:
     return geoms
 
 
-def _read_dbf(path: str) -> list[dict[str, str]]:
+def _read_dbf(path: str) -> list[dict[str, str] | None]:
     with open(path, "rb") as f:
         buf = f.read()
     (nrec,) = struct.unpack_from("<i", buf, 4)
@@ -196,10 +200,14 @@ def _read_dbf(path: str) -> list[dict[str, str]]:
         length = buf[off + 16]
         fields.append((name, length))
         off += 32
-    out = []
+    out: list[dict[str, str] | None] = []
     for i in range(nrec):
         roff = hdr_size + i * rec_size
-        if buf[roff : roff + 1] == b"*":  # deleted record
+        if buf[roff : roff + 1] == b"*":
+            # soft-deleted record: keep a placeholder so the .shp/.dbf zip
+            # stays aligned (dropping it would desync every later record
+            # and fail the count check on a file every GIS tool opens)
+            out.append(None)
             continue
         roff += 1  # deletion flag
         rec = {}
@@ -235,7 +243,7 @@ def read_shapefile(
         )
     rows = []
     for geom, rec in zip(geoms, attrs):
-        if geom is None:
+        if geom is None or rec is None:  # null shape / deleted dbf record
             continue
         if pk_field not in rec:
             raise KeyError(f"dbf missing pk field {pk_field!r}; has {sorted(rec)}")

@@ -44,6 +44,17 @@ RASTER_EXTS = (
 )
 
 
+def distribute_paths(spark, paths: list[str]):
+    """Path list -> one-column DataFrame repartitioned for executor-side
+    file parsing: one task per file while files are scarce, capped at the
+    cluster's parallelism. The SINGLE fan-out policy for every
+    distributed byte reader (hdf5/netcdf3/grib1/grib2/geotiff) — change
+    the heuristic here, not in five copies."""
+    return spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        max(1, min(len(paths), spark.sparkContext.defaultParallelism))
+    )
+
+
 def expand_paths(source) -> list[str]:
     """Concrete sorted file list from a path, glob pattern, directory, or
     list of any of those. A directory keeps only known raster extensions

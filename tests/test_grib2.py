@@ -236,3 +236,26 @@ def test_section5_packed_count_with_bitmap(tmp_path):
         r.values[np.isfinite(r.values)],
         f["values"][np.isfinite(f["values"])], atol=1e-6,
     )
+
+
+def test_missing_increment_sentinel_falls_back_to_span(tmp_path):
+    """Di/Dj = 0xFFFFFFFF is the template-3.0 MISSING sentinel: the reader
+    must fall back to the la2/lo2 span, not use 4294.967295 degrees."""
+    import struct as _st
+
+    f = _tiny_field()
+    p = str(tmp_path / "missing_inc.grib2")
+    write_grib2(p, [f])
+    buf = bytearray(open(p, "rb").read())
+    # walk sections of the first message to find section 3, then blank Di/Dj
+    q = 16
+    while True:
+        slen = _st.unpack_from(">I", buf, q)[0]
+        if buf[q + 4] == 3:
+            buf[q + 63 : q + 71] = b"\xff" * 8
+            break
+        q += slen
+    open(p, "wb").write(bytes(buf))
+    rec = parse_grib2(p)[0]
+    assert rec.dlat == pytest.approx(f["dlat"], rel=1e-9)
+    assert rec.dlon == pytest.approx(f["dlon"], rel=1e-9)

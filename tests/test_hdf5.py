@@ -273,3 +273,20 @@ def test_reference_ndvi_resample_invariants_real_data(spark):
     # values are physical NDVI
     vals = [sremapbil[k] for k in sbil_ok]
     assert all(-0.2 <= v <= 0.95 for v in vals)
+
+
+def test_decode_time_fractional_and_singular_units():
+    """CF-legal fractional coordinates (0.5 days = noon) must not be
+    truncated to midnight, and singular unit names must parse."""
+    import numpy as np
+    import pytest
+
+    from geoglue_spark.sources.hdf5 import decode_time
+
+    got = decode_time(np.array([0.5, 1.5]), "days since 2020-01-01")
+    assert got[0] == np.datetime64("2020-01-01T12:00:00")
+    assert got[1] == np.datetime64("2020-01-02T12:00:00")
+    got = decode_time(np.array([3]), "hour since 2020-01-01 00:00:00")
+    assert got[0] == np.datetime64("2020-01-01T03:00:00")
+    with pytest.raises(ValueError, match="CF time unit"):
+        decode_time(np.array([1]), "fortnights since 2020-01-01")

@@ -210,3 +210,25 @@ def test_geojson_rejects_non_polygon(spark, tmp_path):
     p.write_text(json.dumps(doc))
     with pytest.raises(ValueError, match="polygons only"):
         read_geojson(spark, str(p), "GID_2")
+
+
+def test_read_shapefile_skips_deleted_dbf_record(spark, tmp_path_factory):
+    """A soft-deleted .dbf record (flag '*') must not desync the
+    geometry/attribute zip — its pair is skipped, the rest survive."""
+    import struct as _st
+
+    base = str(tmp_path_factory.mktemp("deleted") / "admins")
+    cw = lambda ring: ring[::-1]
+    _write_shp_dbf(
+        base,
+        [
+            ("A.1", "West", [cw(FEATURES[0]["geometry"]["coordinates"][0])]),
+            ("A.2", "East", [cw(FEATURES[1]["geometry"]["coordinates"][0][0])]),
+        ],
+    )
+    dbf = bytearray(open(base + ".dbf", "rb").read())
+    hdr_size, rec_size = _st.unpack_from("<hh", dbf, 8)
+    dbf[hdr_size + rec_size] = 0x2A  # mark record 2 ('A.2') deleted
+    open(base + ".dbf", "wb").write(bytes(dbf))
+    rows = {r.admin_id for r in read_shapefile(spark, base + ".shp", "GID_2").collect()}
+    assert rows == {"A.1"}
