@@ -138,7 +138,10 @@ def raster_from_files(
         )
     ext = exts.pop()
     if ext == ".parquet":
-        return spark.read.parquet(*paths)
+        df = spark.read.parquet(*paths)
+        if value_col != "value" and "value" in df.columns:
+            df = df.withColumnRenamed("value", value_col)
+        return df
     if ext == ".nc":
         if var is None:
             raise ValueError("netCDF raster needs var= (e.g. 't2m')")
@@ -166,8 +169,9 @@ def raster_from_files(
     if ext == ".grib":
         # editions can mix within one archive (CDS switched delivery
         # format mid-stream) — sniff octet 8 per file, union the groups
-        ed1 = [p for p in paths if _grib_edition(p) == 1]
-        ed2 = [p for p in paths if p not in set(ed1)]
+        ed1, ed2 = [], []
+        for p in paths:
+            (ed1 if _grib_edition(p) == 1 else ed2).append(p)
         frames = []
         if ed1:
             from .sources.grib1 import PARAM_NAMES, read_grib1_distributed
@@ -224,8 +228,14 @@ def raster_from_file(
         return raster_from_files(spark, expanded, var=var, value_col=value_col)
     path = expanded[0]
     low = path.lower()
+    # value_col is honored on EVERY branch: the single-file and multi-file
+    # paths must produce the same schema for the same source, or a glob
+    # matching one vs two files silently changes downstream column names
     if low.endswith(".parquet"):
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        if value_col != "value" and "value" in df.columns:
+            df = df.withColumnRenamed("value", value_col)
+        return df
     if low.endswith(".nc"):
         if var is None:
             raise ValueError("netCDF raster needs var= (e.g. 't2m')")
@@ -234,10 +244,12 @@ def raster_from_file(
         if magic == b"\x89HDF":
             from .sources.hdf5 import netcdf4_to_pixels
 
-            return netcdf4_to_pixels(spark, path, var)
-        from .sources.netcdf3 import netcdf3_to_pixels
+            df = netcdf4_to_pixels(spark, path, var)
+        else:
+            from .sources.netcdf3 import netcdf3_to_pixels
 
-        return netcdf3_to_pixels(spark, path, var)
+            df = netcdf3_to_pixels(spark, path, var)
+        return df if value_col == "value" else df.withColumnRenamed("value", value_col)
     if low.endswith((".tif", ".tiff")):
         from .sources.geotiff import geotiff_to_pixels
 

@@ -128,8 +128,18 @@ def resample_bilinear(
     return (
         joined.groupBy("tix", "tiy", "tlon", "tlat", *dims)
         .agg(
-            (F.sum(F.col("_v") * F.col("w")) / F.sum(F.when(F.col("_v").isNotNull(), F.col("w")))).alias("_num"),
-            F.max(F.when(F.col("_v").isNull(), 1).otherwise(0)).alias("_has_nan"),
+            # invalid = NULL or NaN (parquet preserves NaN; isNull alone
+            # would let NaN poison the sum while _has_nan stays 0)
+            (
+                F.sum(
+                    F.when(~F.isnan("_v"), F.col("_v") * F.col("w"))
+                ) / F.sum(
+                    F.when(F.col("_v").isNotNull() & ~F.isnan("_v"), F.col("w"))
+                )
+            ).alias("_num"),
+            F.max(
+                F.when(F.col("_v").isNull() | F.isnan("_v"), 1).otherwise(0)
+            ).alias("_has_nan"),
         )
         .select(
             F.col("tlon").alias(lon_col),
@@ -159,10 +169,14 @@ def resample_sparse_bilinear(
     check_resample_coverage(source, target)
     spark = pixels.sparkSession
     refs = _bilinear_refs(_target_pixels(spark, target), source)
+    # valid = non-NULL AND non-NaN: coalesce alone keeps NaN (the CDO/
+    # xarray ocean encoding) and a NULL-only mask counts it as valid —
+    # exactly the coastal bleed this operator exists to prevent
+    _valid = F.col("_v").isNotNull() & ~F.isnan("_v")
     src = _source_cells(pixels, source, value_col, lon_col, lat_col, list(dims)).select(
         "scell",
-        F.coalesce(F.col("_v"), F.lit(0.0)).alias("_v0"),
-        F.when(F.col("_v").isNotNull(), 1.0).otherwise(0.0).alias("_m"),
+        F.when(_valid, F.col("_v")).otherwise(F.lit(0.0)).alias("_v0"),
+        F.when(_valid, 1.0).otherwise(0.0).alias("_m"),
         *dims,
     )
     joined = refs.join(src, "scell", "inner")

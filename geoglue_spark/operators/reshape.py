@@ -31,8 +31,13 @@ def collapse_step_to_month(
     desired) nothing here — completeness is checked by
     :func:`assert_constant_month_count`."""
     w = Window.partitionBy(time_col, *dims).orderBy(step_col)
+    # NaN is the reference's missing-step encoding and survives parquet;
+    # isNotNull alone would index NaN steps and shift every real month
     out = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+        )
         .withColumn("month", F.row_number().over(w))
         .drop(step_col)
     )

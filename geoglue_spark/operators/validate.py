@@ -51,17 +51,33 @@ def na_fraction(df: DataFrame, value_col: str = "value") -> float:
 
 
 def check_value_range(
-    df: DataFrame, value_col: str, vmin: float, vmax: float, max_na_frac: float = 1.0
+    df: DataFrame,
+    value_col: str,
+    vmin: float | None,
+    vmax: float | None,
+    max_na_frac: float = 1.0,
 ) -> None:
     """P8: CF valid_min/valid_max + max NA fraction gate (reference
-    config.py:25-38, attrs.py:7-8). Raises on violation."""
-    if not vmin <= vmax:
+    config.py:25-38, attrs.py:7-8). Raises on violation.
+
+    ``None`` bounds are unbounded (ValidationSpec's default is
+    ``max=None``). NaN counts toward the NA fraction, never toward
+    out-of-bounds — Spark orders NaN above every value, so a naive
+    ``v > vmax`` would flag every NaN and make ``max_na_frac``
+    unreachable for NaN-encoded data."""
+    if vmin is not None and vmax is not None and not vmin <= vmax:
         raise ValueError(f"min {vmin} > max {vmax}")
     if not 0.0 <= max_na_frac <= 1.0:
         raise ValueError(f"max_na_frac must be in [0,1], got {max_na_frac}")
     v = F.col(value_col)
+    oob = F.lit(False)
+    if vmin is not None:
+        oob = oob | (v < vmin)
+    if vmax is not None:
+        oob = oob | (v > vmax)
+    oob = ~F.isnan(v) & oob
     row = df.agg(
-        F.sum(F.when((v < vmin) | (v > vmax), 1).otherwise(0)).alias("oob"),
+        F.sum(F.when(oob, 1).otherwise(0)).alias("oob"),
         (F.sum(F.when(v.isNull() | F.isnan(v), 1).otherwise(0)) / F.count("*")).alias(
             "naf"
         ),

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import datetime
 import json
-import os
 import time
 from dataclasses import dataclass
 
@@ -43,12 +42,21 @@ class CheckpointManifest:
     path: str
 
     def committed(self, spark: SparkSession) -> set[str]:
-        if not os.path.exists(self.path):
-            return set()
-        return {
-            r.partition
-            for r in spark.read.schema(MANIFEST_SCHEMA).parquet(self.path).select("partition").distinct().collect()
-        }
+        # probe via Spark, not os.path.exists: the manifest is written
+        # through Spark and may live on remote storage (s3a/hdfs), where a
+        # local-FS check is always False and resume would silently degrade
+        # to full reprocess
+        try:
+            df = spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
+            return {
+                r.partition
+                for r in df.select("partition").distinct().collect()
+            }
+        except Exception as e:  # AnalysisException: path does not exist
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "does not exist" in msg:
+                return set()
+            raise
 
     def record(
         self,
@@ -107,7 +115,6 @@ def run_incremental(
     open_partitions = open_partitions or set()
     done = manifest.committed(spark) - open_partitions
     todo = [p for p in partitions if p not in done]
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     for p in todo:
         t0 = time.time()
         # row count rides the WRITE job as an observed metric (r3 verdict
@@ -124,16 +131,36 @@ def run_incremental(
             # persist so the gate's aggregation and the write run the
             # source pipeline ONCE, not twice
             df = df.persist()
-            last = df.agg(
-                F.max(F.to_date(require_complete_months)).alias("mx")
-            ).collect()[0].mx
-            if last is None or (last + datetime.timedelta(days=1)).day != 1:
+            d = F.to_date(require_complete_months)
+            row = df.agg(
+                F.min(d).alias("mn"),
+                F.max(d).alias("mx"),
+                F.count_distinct(d).alias("nd"),
+            ).collect()[0]
+            # complete = one calendar month, first AND last day present,
+            # and every interior day observed (a max-date-only check would
+            # commit a month with days 10-15 missing, or January data
+            # passing a February partition's gate)
+            ok = (
+                row.mx is not None
+                and row.mn.replace(day=1) == row.mx.replace(day=1)
+                and row.mn.day == 1
+                and (row.mx + datetime.timedelta(days=1)).day == 1
+                and row.nd == row.mx.day
+            )
+            if not ok:
                 df.unpersist()
                 raise ValueError(
-                    f"partition {p!r}: closed month incomplete "
-                    f"(max date {last}); refusing to commit"
+                    f"partition {p!r}: closed month incomplete (dates "
+                    f"{row.mn}..{row.mx}, {row.nd} distinct days); "
+                    "refusing to commit"
                 )
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(out_path)
+        # per-write option, NOT session conf: setting the session-global
+        # partitionOverwriteMode would silently change overwrite semantics
+        # for every later write in the caller's session
+        df.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(partition_col).parquet(out_path)
         df.unpersist()
         manifest.record(spark, p, obs.get["rows"], time.time() - t0, lineage)
     return todo
@@ -169,8 +196,9 @@ def write_replace_partitions(
     if catalog and spark.conf.get(f"spark.sql.catalog.{catalog}", None):
         df.writeTo(target).overwritePartitions()
         return "iceberg"
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy(*part_cols).parquet(target)
+    df.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(*part_cols).parquet(target)
     return "parquet"
 
 

@@ -259,3 +259,30 @@ def test_stream_ingest_accumulates_across_batches(spark, tmp_path):
     assert got.count() == 8  # 5 + 3, nothing lost
     ids = {r.event_id for r in got.collect()}
     assert ids == set(range(5)) | {100, 101, 102}
+
+
+def test_complete_month_gate_catches_interior_gap(spark, tmp_path):
+    """A closed month missing interior days (10-15) but ending on the last
+    day must REFUSE to commit — a max-date-only check would pass it."""
+    import datetime as dt
+
+    import pytest
+
+    from geoglue_spark.streaming.incremental import (
+        CheckpointManifest,
+        run_incremental,
+    )
+
+    days = [
+        dt.date(2019, 1, d) for d in range(1, 32) if not 10 <= d <= 15
+    ]
+
+    def process(p):
+        return spark.createDataFrame([(d, 1.0) for d in days], "time date, value double")
+
+    m = CheckpointManifest(str(tmp_path / "manifest"))
+    with pytest.raises(ValueError, match="incomplete"):
+        run_incremental(
+            spark, ["2019-01"], process, str(tmp_path / "out"), m,
+            open_partitions=set(), require_complete_months="time",
+        )

@@ -365,3 +365,43 @@ def test_winnow_grouped_false_matches_exploded_grouped(spark):
     assert {(r.doc_id, r.fp) for r in flat} == want
     src = dict((r[0], r[1]) for r in rows)
     assert all(r.source == src[r.doc_id] for r in flat)
+
+
+def test_collapse_step_drops_float_nan_steps(spark):
+    """NaN (not just NULL) steps must not receive month indices — a NaN
+    survivor would shift every later real step to the wrong month."""
+    df = spark.createDataFrame(
+        [
+            ("2020-01-01", 1, float("nan")),
+            ("2020-01-01", 2, 10.0),
+            ("2020-01-01", 3, 20.0),
+        ],
+        "time string, step int, value double",
+    )
+    out = {r.month: r.value for r in R.collapse_step_to_month(df, "time", "step", "value").collect()}
+    assert out == {1: 10.0, 2: 20.0}
+
+
+def test_check_value_range_nan_counts_as_na_not_oob(spark):
+    """Spark orders NaN above every value; the oob predicate must exclude
+    NaN so max_na_frac stays reachable, and None bounds mean unbounded
+    (ValidationSpec's default max=None)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (float("nan"),), (3.0,)], "value double"
+    )
+    V.check_value_range(df, "value", 0.0, 10.0, max_na_frac=0.5)  # NaN allowed
+    with pytest.raises(AssertionError, match="NA fraction"):
+        V.check_value_range(df, "value", 0.0, 10.0, max_na_frac=0.1)
+    V.check_value_range(df, "value", 0.0, None, max_na_frac=0.5)  # open above
+    V.check_value_range(df, "value", None, None, max_na_frac=0.5)
+    with pytest.raises(AssertionError, match="outside"):
+        V.check_value_range(df, "value", None, 2.5, max_na_frac=0.5)
+
+
+def test_validation_spec_default_max_none_applies(spark):
+    from geoglue_spark.config import ValidationSpec
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "value double")
+    ValidationSpec(min=0.0, max=None, max_na_frac=0.0).apply(df)  # must not raise

@@ -122,3 +122,48 @@ def test_coverage_gate_warns_and_raises(spark):
         assert check_resample_coverage(src, outside) is False
     with pytest.raises(ValueError, match="entirely cover"):
         check_resample_coverage(src, outside, strict=True)
+
+
+def _source_df_real_nan(spark, f, nan_mask):
+    """Like _source_df but keeps FLOAT NaN in the column (the CDO/xarray
+    parquet encoding) instead of converting to SQL NULL."""
+    ix, iy = np.meshgrid(np.arange(SRC.nx), np.arange(SRC.ny))
+    lon, lat = SRC.centers(ix.ravel(), iy.ravel())
+    val = f(lon, lat).astype(float)
+    val[nan_mask(lon, lat)] = np.nan
+    rows = [(float(a), float(b), float(v)) for a, b, v in zip(lon, lat, val)]
+    return spark.createDataFrame(rows, "lon double, lat double, value double")
+
+
+def test_sparse_bilinear_treats_float_nan_like_null(spark):
+    """NaN-encoded missing values (not NULL) must not bleed: the sparse
+    kernel's mask must treat NaN as invalid exactly like NULL."""
+    nan_mask = lambda lon, lat: lon < 5.0
+    f = lambda lon, lat: lon * 2.0 + lat
+    as_null = resample_sparse_bilinear(
+        _source_df(spark, f, nan_mask), SRC, TGT
+    ).toPandas().set_index(["lon", "lat"]).sort_index()
+    as_nan = resample_sparse_bilinear(
+        _source_df_real_nan(spark, f, nan_mask), SRC, TGT
+    ).toPandas().set_index(["lon", "lat"]).sort_index()
+    assert (as_null.value.isna() == as_nan.value.isna()).all()
+    np.testing.assert_allclose(
+        as_nan.value.dropna(), as_null.value.dropna(), rtol=1e-12
+    )
+
+
+def test_bilinear_masks_float_nan_stencils(spark):
+    """Plain bilinear: any NaN in the 4-cell stencil must yield NULL, the
+    same contract as a NULL in the stencil."""
+    nan_mask = lambda lon, lat: lon < 5.0
+    f = lambda lon, lat: lon * 2.0 + lat
+    as_null = resample_bilinear(
+        _source_df(spark, f, nan_mask), SRC, TGT
+    ).toPandas().set_index(["lon", "lat"]).sort_index()
+    as_nan = resample_bilinear(
+        _source_df_real_nan(spark, f, nan_mask), SRC, TGT
+    ).toPandas().set_index(["lon", "lat"]).sort_index()
+    assert (as_null.value.isna() == as_nan.value.isna()).all()
+    np.testing.assert_allclose(
+        as_nan.value.dropna(), as_null.value.dropna(), rtol=1e-12
+    )
