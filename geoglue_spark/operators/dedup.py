@@ -96,8 +96,11 @@ def release_signature_caches(spark=None) -> int:
 # exact dedup
 # --------------------------------------------------------------------------
 def exact_dedup_stats(df: DataFrame, text_col: str, by: list[str] = ()) -> DataFrame:
-    """Per-group document/distinct counts on a content fingerprint."""
-    fp = F.md5(F.col(text_col))
+    """Per-group document/distinct counts on a content fingerprint. NULL
+    text counts as ONE distinct value (count_distinct would skip the NULL
+    fingerprint entirely, reporting numbers exact_dedup_keep_first's
+    retention — which keeps one NULL-text row — cannot reconcile with)."""
+    fp = F.coalesce(F.md5(F.col(text_col)), F.lit("<null-text>"))
     keys = list(by) or [F.lit(1).alias("all")]
     return df.groupBy(*keys).agg(
         F.count("*").alias("n_docs"),
@@ -399,6 +402,13 @@ def minhash_near_dupes(
     on (band_idx, band_hash) -> verify by full-signature agreement fraction
     (unbiased Jaccard estimate). Shuffle volume = n_docs * bands rows.
     """
+    if bands < 1 or bands > n_perm or n_perm % bands:
+        raise ValueError(
+            f"bands must divide n_perm (got n_perm={n_perm}, bands={bands}):"
+            " rows_per_band of 0 would hash every doc into ONE bucket per"
+            " band — the all-pairs quadratic join this module exists to"
+            " avoid — and a remainder silently ignores trailing permutations"
+        )
     rows_per_band = n_perm // bands
     # cached because the band join + verify stage reference it three times;
     # scope-managed: the next minhash call (or release_signature_caches())

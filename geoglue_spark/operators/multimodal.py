@@ -73,7 +73,11 @@ def decode_stats(images: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
                         (r.image_id, r.fmt, r.w, r.h, float(gray.mean()),
                          float(gray.std()), bool(ok))
                     )
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
+                    # NotImplementedError = format without a codec here;
+                    # ValueError = corrupt payload (bad PNG filter byte,
+                    # size mismatch). Both surface as the documented NULL
+                    # row — one bad image must never fail a 10^8-image job
                     out.append((r.image_id, r.fmt, r.w, r.h, None, None, None))
             res = pd.DataFrame(
                 out,
@@ -100,7 +104,7 @@ def thumbnail_features(images: DataFrame, grid: int = 8) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 try:
                     pix = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     continue
                 blk = _block_reduce_8(_to_gray(pix.astype(np.float64)))
                 ids.append(r.image_id)
@@ -121,8 +125,11 @@ def reencode_psnr(images: DataFrame, fmt: str = "qnt") -> DataFrame:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                pix = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
-                re = decode_image(encode_image(pix, fmt), r.w, r.h, fmt)
+                try:
+                    pix = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
+                    re = decode_image(encode_image(pix, fmt), r.w, r.h, fmt)
+                except (NotImplementedError, ValueError):
+                    continue  # undecodable row drops, like every sibling op
                 p = psnr(pix, re)
                 out.append((r.image_id, fmt, float(min(p, 1e9))))
             yield pd.DataFrame(out, columns=["image_id", "refmt", "psnr_db"])
@@ -173,7 +180,7 @@ def resize_images(
             for r in pdf.itertuples(index=False):
                 try:
                     pix = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     continue
                 resized = kernel(pix, out_w, out_h)
                 out.append(
@@ -226,7 +233,7 @@ def augment_images(
             for r in pdf.itertuples(index=False):
                 try:
                     pix = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     continue
                 digest = hashlib.md5(
                     f"{r.image_id}:{seed}".encode()
@@ -264,6 +271,20 @@ def image_quality_stats(images: DataFrame, carry: tuple[str, ...] = ()) -> DataF
     from ..images import gray_entropy, sharpness
 
     cols = ["image_id", *carry]
+    # carry-clash guard, same rules as decode_stats: a carry colliding
+    # with the base input selection duplicates a column (itertuples then
+    # renames positionally -> executor AttributeError), and a collision
+    # with an output metric name duplicates schema columns
+    base = {
+        "image_id", "bytes", "w", "h", "fmt",
+        "sharpness", "entropy", "mean_val", "std_val",
+    }
+    clash = [c for c in carry if c in base]
+    if clash:
+        raise ValueError(
+            f"image_quality_stats carry column(s) {clash} collide with the "
+            "base input/output schema; rename them upstream"
+        )
     # carry columns keep their INPUT types (same pattern as decode_stats:
     # hardcoding `string` would crash Arrow serialization on an int carry)
     in_fields = {f.name: f.dataType.simpleString() for f in images.schema}
@@ -281,7 +302,7 @@ def image_quality_stats(images: DataFrame, carry: tuple[str, ...] = ()) -> DataF
             for r in pdf.itertuples(index=False):
                 try:
                     pix = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     continue
                 out.append(
                     tuple(getattr(r, c) for c in cols)
@@ -425,15 +446,20 @@ def audio_features(
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                if r.fmt == "rawpcm":
-                    pcm = np.frombuffer(bytes(r.bytes), dtype="<i2").astype(np.float64)
-                    sr = sample_rate
-                elif r.fmt == "wav":
-                    frames, sr = decode_wav(bytes(r.bytes))
-                    pcm = frames.astype(np.float64).mean(axis=1)
-                else:
-                    # no compressed-audio codec in this container: drop row
-                    continue
+                try:
+                    if r.fmt == "rawpcm":
+                        pcm = np.frombuffer(bytes(r.bytes), dtype="<i2").astype(np.float64)
+                        sr = sample_rate
+                    elif r.fmt == "wav":
+                        frames, sr = decode_wav(bytes(r.bytes))
+                        pcm = frames.astype(np.float64).mean(axis=1)
+                    else:
+                        # no compressed-audio codec in this container: drop row
+                        continue
+                except (NotImplementedError, ValueError):
+                    continue  # 24-bit/float PCM, odd-length rawpcm: drop
+                if sr <= 0:
+                    continue  # corrupt header; n/sr below would divide by 0
                 n = len(pcm)
                 rms = float(np.sqrt(np.mean(pcm**2))) if n else 0.0
                 zc = float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))) if n > 1 else 0.0
@@ -479,13 +505,20 @@ def resample_audio(
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                if r.fmt == "rawpcm":
-                    pcm = np.frombuffer(bytes(r.bytes), dtype="<i2")
-                    sr = sample_rate
-                elif r.fmt == "wav":
-                    frames, sr = decode_wav(bytes(r.bytes))
-                    pcm = np.round(frames.astype(np.float64).mean(axis=1)).astype("<i2")
-                else:
+                try:
+                    if r.fmt == "rawpcm":
+                        pcm = np.frombuffer(bytes(r.bytes), dtype="<i2")
+                        sr = sample_rate
+                    elif r.fmt == "wav":
+                        frames, sr = decode_wav(bytes(r.bytes))
+                        pcm = np.round(
+                            frames.astype(np.float64).mean(axis=1)
+                        ).astype("<i2")
+                    else:
+                        continue
+                except (NotImplementedError, ValueError):
+                    continue  # unsupported PCM variant / corrupt payload
+                if sr <= 0:
                     continue
                 res = resample_pcm(pcm, sr, sr_out)
                 out.append(
@@ -512,13 +545,20 @@ def decode_audio(audio: DataFrame, sample_rate: int = 16000) -> DataFrame:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                if r.fmt == "rawpcm":
-                    pcm = np.frombuffer(bytes(r.bytes), dtype="<i2")
-                    sr = sample_rate
-                elif r.fmt == "wav":
-                    frames, sr = decode_wav(bytes(r.bytes))
-                    pcm = np.round(frames.astype(np.float64).mean(axis=1)).astype("<i2")
-                else:
+                try:
+                    if r.fmt == "rawpcm":
+                        pcm = np.frombuffer(bytes(r.bytes), dtype="<i2")
+                        sr = sample_rate
+                    elif r.fmt == "wav":
+                        frames, sr = decode_wav(bytes(r.bytes))
+                        pcm = np.round(
+                            frames.astype(np.float64).mean(axis=1)
+                        ).astype("<i2")
+                    else:
+                        continue
+                except (NotImplementedError, ValueError):
+                    continue  # unsupported PCM variant / corrupt payload
+                if sr <= 0:
                     continue
                 out.append((r.audio_id, r.fmt, int(sr), len(pcm), pcm.tobytes()))
             yield pd.DataFrame(

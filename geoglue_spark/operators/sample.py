@@ -111,8 +111,13 @@ def stratified_sample(
         raise ValueError(f"n_per_group must be >= 1, got {n_per_group}")
     keys = [F.col(c) for c in key_cols]
     u = _hash01(keys, seed).alias("_u")
-    base = df.withColumn("_u", u)
-    counts = df.groupBy(*by).agg(F.count("*").alias("_cnt"))
+    # every join rides a STRUCT of the group columns: struct equality is
+    # null-safe, so a NULL group key stays a group (a plain equi-join on
+    # `by` never matches NULL and would silently DROP the whole NULL
+    # group, violating the exactness contract)
+    gk = F.struct(*[F.col(c) for c in by]).alias("_gk")
+    base = df.withColumn("_u", u).withColumn("_gk", gk)
+    counts = df.groupBy(gk).agg(F.count("*").alias("_cnt"))
     thresh = counts.withColumn(
         "_thr",
         F.when(
@@ -124,8 +129,8 @@ def stratified_sample(
         ).otherwise(F.lit(1.0)),
     )
     bc = F.broadcast if broadcast_thresholds else (lambda d: d)
-    pre = base.join(bc(thresh), on=by).filter(F.col("_u") < F.col("_thr"))
-    w = W.partitionBy(*by).orderBy(F.col("_u"), *keys)  # keys: total order tiebreak
+    pre = base.join(bc(thresh), on="_gk").filter(F.col("_u") < F.col("_thr"))
+    w = W.partitionBy("_gk").orderBy(F.col("_u"), *keys)  # keys: total order tiebreak
     ranked = pre.withColumn("_rn", F.row_number().over(w))
     kept = ranked.filter(F.col("_rn") <= n_per_group)
     # correction pass: a group is SHORT iff it kept fewer than
@@ -134,20 +139,22 @@ def stratified_sample(
     # has no kept rows at all, and an inner join would hide it
     short = (
         counts.join(
-            kept.groupBy(*by).agg(F.count("*").alias("_kept")), on=by, how="left"
+            kept.groupBy("_gk").agg(F.count("*").alias("_kept")),
+            on="_gk",
+            how="left",
         )
         .filter(
             F.coalesce(F.col("_kept"), F.lit(0))
             < F.least(F.lit(n_per_group), F.col("_cnt"))
         )
-        .select(*by)
+        .select("_gk")
     )
     fixed = (
-        base.join(bc(short), on=by, how="left_semi")
+        base.join(bc(short), on="_gk", how="left_semi")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_per_group)
     )
-    ok = kept.join(bc(short), on=by, how="left_anti")
+    ok = kept.join(bc(short), on="_gk", how="left_anti")
     out_cols = df.columns
     return ok.select(*out_cols).unionByName(fixed.select(*out_cols))
 

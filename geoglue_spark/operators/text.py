@@ -23,8 +23,10 @@ STOPWORDS = {
 
 
 def token_count_col(text: Column) -> Column:
-    """Whitespace token count; 0 for empty/blank strings."""
-    trimmed = F.trim(text)
+    """Whitespace token count; 0 for empty/blank/NULL strings (without the
+    coalesce, size(split(NULL)) is -1 under non-ANSI defaults — negative
+    token counts would corrupt quality scores and packing prefix sums)."""
+    trimmed = F.trim(F.coalesce(text, F.lit("")))
     return F.when(trimmed == "", F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+"))
     )
@@ -33,7 +35,7 @@ def token_count_col(text: Column) -> Column:
 def bpe_ish_token_count_col(text: Column) -> Column:
     """Sub-word-ish token count: splits on whitespace AND letter/digit
     boundaries (a cheap BPE proxy for budget estimation)."""
-    trimmed = F.trim(text)
+    trimmed = F.trim(F.coalesce(text, F.lit("")))
     pieces = F.split(trimmed, r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])")
     return F.when(trimmed == "", F.lit(0)).otherwise(F.size(pieces))
 
@@ -64,7 +66,7 @@ def stopword_ratio_col(text: Column, langs: tuple[str, ...] = ("en",)) -> Column
     """Fraction of whitespace tokens that are stopwords of the given
     languages — pure JVM array math (split -> filter -> size)."""
     words = sorted(set().union(*(STOPWORDS[l] for l in langs)))
-    trimmed = F.trim(F.lower(text))
+    trimmed = F.trim(F.lower(F.coalesce(text, F.lit(""))))
     toks = F.split(trimmed, r"\s+")
     # filter (not array_intersect): repeated stopword tokens must all count
     hits = F.size(F.filter(toks, lambda t: t.isin(*words)))

@@ -46,16 +46,26 @@ def local_time_col(
 ) -> Column:
     """UTC -> local-time column with the accum -1 rule.
 
-    ``vartype`` may be a column ('instant'|'accum') for mixed tables, the
-    literal strings, or None (instant semantics)."""
-    if vartype is None or vartype == "instant":
-        return time_col + F.make_interval(hours=F.lit(shift_hours))
-    if vartype == "accum":
-        return time_col + F.make_interval(hours=F.lit(shift_hours - 1))
-    vt = F.col(vartype) if isinstance(vartype, str) else vartype
-    return F.when(
-        vt == "accum", time_col + F.make_interval(hours=F.lit(shift_hours - 1))
-    ).otherwise(time_col + F.make_interval(hours=F.lit(shift_hours)))
+    ``vartype`` may be a Column ('instant'|'accum') for mixed tables, the
+    literal strings, a column NAME, or None (instant semantics). A string
+    is treated as the literal when it is exactly 'instant'/'accum' —
+    a vartype column that is itself named 'instant' or 'accum' must be
+    passed as ``F.col(...)``."""
+    instant = time_col + F.make_interval(hours=F.lit(shift_hours))
+    accum = time_col + F.make_interval(hours=F.lit(shift_hours - 1))
+    if vartype is None:
+        return instant
+    if isinstance(vartype, str):
+        # plain-string comparisons only: `vartype == "instant"` on a
+        # Column builds a Column whose truthiness raises in `if`
+        if vartype == "instant":
+            return instant
+        if vartype == "accum":
+            return accum
+        vt = F.col(vartype)
+    else:
+        vt = vartype
+    return F.when(vt == "accum", accum).otherwise(instant)
 
 
 def with_local_time(
@@ -158,10 +168,14 @@ def rolling_weekly(
     cds.py:959-962), i.e. a RANGE lookback of (window-1) weeks."""
     from pyspark.sql import Window as W
 
+    # range frame over DAY numbers (unix_date), not epoch seconds: under a
+    # DST session timezone the fall-back week's Monday sits 604800+3600s
+    # after the previous one, which a seconds-based lookback of exactly
+    # (window-1)*604800 silently excludes
     w = (
         W.partitionBy(*keys)
-        .orderBy(F.col("week_start").cast("timestamp").cast("long"))
-        .rangeBetween(-((window - 1) * 7 * 24 * 3600), 0)
+        .orderBy(F.unix_date(F.col("week_start").cast("date")))
+        .rangeBetween(-((window - 1) * 7), 0)
     )
     return weekly.withColumn(f"rolling_{how}", _AGG[how](F.col(value_col)).over(w))
 
@@ -321,14 +335,21 @@ def interval_join(
     s_ep = _epoch_sec(F.col(start_col))
     e_ep = _epoch_sec(F.col(end_col))
     lo = F.floor(s_ep / b).cast("long")
-    hi = F.floor((e_ep - F.lit(1e-9)) / b).cast("long")
+    # exclusive end via ceil-1, NOT an epsilon: 1e-9 is below the ULP of
+    # modern epoch seconds (~2.4e-7 at 1.7e9), so `e - 1e-9` is a float
+    # no-op for real timestamps and a boundary-aligned end would claim one
+    # extra bucket (spuriously tripping max_fanout at the margin)
+    hi = (F.ceil(e_ep / F.lit(float(b))) - 1).cast("long")
     n_buckets = hi - lo + 1
     guard = F.when(
         # NULL bounds first: a NULL start/end makes n_buckets NULL, and
         # NULL falls through BOTH range whens into raise_error — a dirty
         # interval row would abort the whole job with a misleading
         # fan-out message. NULL-bounded intervals match no point: drop.
-        n_buckets.isNull() | (n_buckets < 1), F.array().cast("array<long>")
+        # e <= s explicitly: a same-instant interval inside one bucket has
+        # lo == hi (n_buckets 1) yet contains nothing under [start, end).
+        n_buckets.isNull() | (n_buckets < 1) | (e_ep <= s_ep),
+        F.array().cast("array<long>"),
     ).when(
         n_buckets <= max_fanout, F.sequence(lo, hi)
     ).otherwise(

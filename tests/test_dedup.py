@@ -524,3 +524,23 @@ def test_elect_cluster_representatives_matches_python_oracle(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_exact_dedup_stats_null_text_consistent_with_keep_first(spark):
+    """NULL text is ONE distinct cluster in stats, matching keep_first's
+    retention of one NULL-text row (count_distinct used to skip it)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "x"), (5, "y")],
+        "doc_id long, text string",
+    )
+    row = D.exact_dedup_stats(df, "text").collect()[0]
+    assert (row.n_docs, row.n_distinct, row.n_dupes) == (5, 3, 2)
+    kept = D.exact_dedup_keep_first(df, "text", "doc_id").count()
+    assert kept == row.n_distinct
+
+
+def test_minhash_rejects_bad_band_count(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bands in (0, 10, 128):  # non-divisor and > n_perm
+        with pytest.raises(ValueError, match="bands"):
+            D.minhash_near_dupes(df, "text", "doc_id", n_perm=64, bands=bands)

@@ -229,3 +229,21 @@ def test_mix_sources_correction_pass_exact_under_tiny_margin(spark):
         for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
     }
     assert by_src == {"web": 400, "code": 400}
+
+
+def test_stratified_sample_null_group_key_is_a_group(spark):
+    """NULL group keys must sample like any other group — plain equi-joins
+    would silently drop the whole NULL group."""
+    from geoglue_spark.operators.sample import stratified_sample
+
+    rows = [(i, None if i % 3 == 0 else f"g{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, ["lang"], 5, ["doc_id"], seed=3)
+    sizes = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {None: 5, "g1": 5, "g2": 5}
+    # determinism under repartitioning, NULL group included
+    again = stratified_sample(df.repartition(7), ["lang"], 5, ["doc_id"], seed=3)
+    assert {r.doc_id for r in again.collect()} == {r.doc_id for r in out.collect()}

@@ -408,3 +408,21 @@ def test_pack_sequences_rejects_string_ids(spark):
     )
     with pytest.raises(TypeError, match="numeric id_col"):
         pack_sequences(df, budget=10)
+
+
+def test_token_counts_null_text_is_zero(spark):
+    """NULL text: token counts must be 0, not size(split(NULL)) = -1 —
+    a negative count corrupts quality scores and packing prefix sums."""
+    from geoglue_spark.operators.text import (
+        bpe_ish_token_count_col,
+        stopword_ratio_col,
+        token_count_col,
+    )
+
+    df = spark.createDataFrame([(None,), ("a b",), ("",)], "text string")
+    got = df.select(
+        token_count_col(F.col("text")).alias("n"),
+        bpe_ish_token_count_col(F.col("text")).alias("nb"),
+        stopword_ratio_col(F.col("text")).alias("sw"),
+    ).collect()
+    assert [(r.n, r.nb, r.sw) for r in got] == [(0, 0, 0.0), (2, 2, 0.5), (0, 0, 0.0)]

@@ -307,3 +307,68 @@ def test_interval_join_null_bounds_dropped(spark):
     out = interval_join(p, iv, "ts", "start", "end", bucket_seconds=1,
                         max_fanout=1000)
     assert [r.iid for r in out.collect()] == [3]
+
+
+def test_local_time_col_with_column_vartype(spark):
+    """A Column vartype (mixed instant/accum tables) must dispatch per
+    row — `vartype == 'instant'` on a Column used to raise at plan time."""
+    from geoglue_spark.operators.timeagg import local_time_col
+
+    df = spark.createDataFrame(
+        [("2020-01-01 10:00:00", "instant"), ("2020-01-01 10:00:00", "accum")],
+        "time string, vartype string",
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    got = [
+        str(r.local)
+        for r in df.select(
+            local_time_col(F.col("time"), 8, F.col("vartype")).alias("local")
+        ).collect()
+    ]
+    assert got == ["2020-01-01 18:00:00", "2020-01-01 17:00:00"]
+    # string column NAME works too
+    got2 = [
+        str(r.local)
+        for r in df.select(
+            local_time_col(F.col("time"), 8, "vartype").alias("local")
+        ).collect()
+    ]
+    assert got2 == got
+
+
+def test_rolling_weekly_dst_timezone_proof(spark):
+    """The rolling frame must count WEEKS, not epoch seconds: under a DST
+    timezone the fall-back Monday gap is 604800+3600s and a seconds-based
+    lookback silently drops the prior week."""
+    from geoglue_spark.operators.timeagg import rolling_weekly
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        weekly = spark.createDataFrame(
+            [("2024-10-28", 10.0), ("2024-11-04", 30.0)],  # DST ends Nov 3
+            "week_start string, value double",
+        ).withColumn("week_start", F.col("week_start").cast("date"))
+        got = {
+            str(r.week_start): r.rolling_mean
+            for r in rolling_weekly(weekly, window=2).collect()
+        }
+        assert got["2024-11-04"] == 20.0  # both weeks in frame
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_interval_join_boundary_end_and_same_instant(spark):
+    """An interval ending exactly on a bucket boundary spans exactly
+    len/bucket buckets (the epsilon was a float no-op at epoch magnitude),
+    and a same-instant mid-bucket interval matches nothing."""
+    from geoglue_spark.operators.timeagg import interval_join
+
+    p = spark.createDataFrame([(1, 5), (2, 35_999)], "pid long, ts long")
+    iv = spark.createDataFrame(
+        [(1, 0, 36_000), (2, 5, 5)], "iid long, start long, end long"
+    )
+    # 36000s / 3600s = exactly 10 buckets: max_fanout=10 must NOT raise
+    out = interval_join(p, iv, "ts", "start", "end",
+                        bucket_seconds=3600, max_fanout=10)
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    assert got == [(1, 1), (2, 1)]
