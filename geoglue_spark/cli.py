@@ -225,6 +225,13 @@ def cmd_merge(args: argparse.Namespace) -> int:
         value_cols = [
             c for m in merged for c in m.columns if c not in dims and c != LINEAGE_KEY
         ]
+        dupes = sorted({c for c in value_cols if value_cols.count(c) > 1})
+        if dupes:
+            print(
+                f"ERROR: variable name(s) {dupes} appear in more than one "
+                "input schema group; rename the columns before merging"
+            )
+            return 1
         out = variable_merge([m.drop(LINEAGE_KEY) for m in merged], sorted(dims), value_cols)
     out.write.mode("overwrite").parquet(args.output)
     print(args.output)
@@ -475,17 +482,31 @@ def cmd_plot(args: argparse.Namespace) -> int:
             if c not in ("lon", "lat", "value", "src", "vartype")
         ]
         if non_spatial:
-            dim = non_spatial[0]
-            ticks = [
-                r[dim]
-                for r in pixels.select(dim).distinct().orderBy(dim).collect()
-            ]
-            idx = int(args.isel.split(",")[0])
-            if not 0 <= idx < len(ticks):
-                print(f"ERROR: -i {idx} out of range (0..{len(ticks) - 1} {dim})")
-                return 1
-            print(f"Selecting {{{dim!s}: {idx}}}")
-            pixels = pixels.filter(F.col(dim) == ticks[idx]).drop(*non_spatial)
+            # one -i index per non-spatial dim: filtering only the first
+            # but dropping ALL of them would overlay the remaining dims'
+            # slices into one image, each pixel taking whichever row
+            # arrived last
+            idxs = [int(x) for x in str(args.isel).split(",")]
+            if len(idxs) < len(non_spatial):
+                if len(non_spatial) > 1:
+                    print(
+                        f"ERROR: raster has non-spatial dims {non_spatial}; "
+                        f"pass one -i index per dim (e.g. -i 0,0)"
+                    )
+                    return 1
+            for dim, idx in zip(non_spatial, idxs):
+                ticks = [
+                    r[dim]
+                    for r in pixels.select(dim).distinct().orderBy(dim).collect()
+                ]
+                if not 0 <= idx < len(ticks):
+                    print(
+                        f"ERROR: -i {idx} out of range (0..{len(ticks) - 1} {dim})"
+                    )
+                    return 1
+                print(f"Selecting {{{dim!s}: {idx}}}")
+                pixels = pixels.filter(F.col(dim) == ticks[idx])
+            pixels = pixels.drop(*non_spatial)
         grid = infer_grid(pixels)
         img_vals = np.full((grid.ny, grid.nx), np.nan)
         for r in pixels.select("lon", "lat", "value").collect():  # one slice
@@ -539,7 +560,6 @@ def build_parser() -> argparse.ArgumentParser:
     c.set_defaults(fn=cmd_crop)
 
     m = sub.add_parser("merge", help="Merge datasets named on standard input")
-    m.add_argument("--dim", default="time")
     m.add_argument("-o", "--output", required=True)
     m.add_argument("--file", help="manifest file instead of stdin")
     m.set_defaults(fn=cmd_merge)

@@ -72,15 +72,19 @@ PIN_COVER_MAX_ROWS = 200_000
 
 
 def _pinned_cover(spark: SparkSession, admins, grid: Grid):
-    cover = build_cover(admins, grid, supersample=8)
+    # cache BEFORE the count: the cover build is a full ray-cast +
+    # supersampling applyInPandas plan, and counting the uncached frame
+    # then toPandas()-ing it would execute that build twice
+    cover = build_cover(admins, grid, supersample=8).cache()
     n = cover.count()
     if n <= PIN_COVER_MAX_ROWS:
         cover_pd = cover.toPandas()
+        cover.unpersist()
         return spark.createDataFrame(
             cover_pd,
             "cell_id long, admin_id string, interior boolean, coverage double",
         )
-    return cover.cache()
+    return cover
 
 
 def _engine(spark: SparkSession):
@@ -763,8 +767,8 @@ SQL_DOC_DEDUP_STATS = r"""
 WITH base AS (
   SELECT source,
          count(*) AS n_docs,
-         count(DISTINCT md5(text)) AS n_distinct,
-         count(*) - count(DISTINCT md5(text)) AS n_dupes
+         count(DISTINCT coalesce(md5(text), '<null-text>')) AS n_distinct,
+         count(*) - count(DISTINCT coalesce(md5(text), '<null-text>')) AS n_dupes
   FROM documents GROUP BY 1
 ),
 tk AS (
@@ -873,7 +877,11 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_doc_token_stats() -> str:
     words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS["en"]))
     return rf"""
-WITH t AS (
+WITH docs0 AS (
+  -- NULL text behaves as '' (Spark token/quality/stopword cols coalesce)
+  SELECT lang, doc_id, coalesce(text, '') AS text FROM documents
+),
+t AS (
   SELECT lang,
          CASE WHEN trim(text) = '' THEN 0
               ELSE len(string_split_regex(trim(text), '\s+')) END AS tokens,
@@ -888,7 +896,7 @@ WITH t AS (
                                    x -> list_contains([{words}], x)))
                    * 1.0 / len(string_split_regex(trim(lower(text)), '\s+'))
          END AS s
-  FROM documents
+  FROM docs0
 ),
 base AS (
   SELECT lang,
@@ -910,7 +918,7 @@ tg AS (
                  FOR i IN range(1, len(toks2))]) AS g
   FROM (SELECT lang, doc_id, text,
                string_split_regex(trim(lower(text)), '\s+') AS toks2
-        FROM documents WHERE trim(text) <> '') d
+        FROM docs0 WHERE trim(text) <> '') d
   WHERE len(toks2) >= 2
 ),
 tc AS (
@@ -923,10 +931,16 @@ best AS (
   FROM tc
 ),
 rep AS (
-  SELECT lang,
-         round(sum(CAST(round(frac * 1000000) AS BIGINT)) * 1.0
+  -- averaged over ALL docs per lang: the Spark side RETAINS short/empty
+  -- docs as zero-fraction rows (r5 retention contract), so the oracle
+  -- must count them in the denominator too
+  SELECT d.lang,
+         round(sum(CAST(round(coalesce(b.frac, 0) * 1000000) AS BIGINT)) * 1.0
                / count(*)) / 1000000.0 AS avg_top2gram_frac
-  FROM best WHERE rn = 1 GROUP BY 1
+  FROM docs0 d
+  LEFT JOIN (SELECT doc_id, frac FROM best WHERE rn = 1) b
+         ON b.doc_id = d.doc_id
+  GROUP BY 1
 )
 SELECT base.*, rep.avg_top2gram_frac
 FROM base LEFT JOIN rep USING (lang)

@@ -65,7 +65,10 @@ def streaming_running_stats(stream: DataFrame, key_col: str, value_col: str) -> 
             n += len(pdf)
             s += float(pdf[value_col].sum())
         state.update((n, s))
-        yield pd.DataFrame({key_col: [key[0]], "n": [n], "sum_value": [s]})
+        # key cast to str: the declared output field is string, and a long
+        # key (user_id, phash) would fail Arrow conversion at the first
+        # micro-batch (streaming_dedup does the same)
+        yield pd.DataFrame({key_col: [str(key[0])], "n": [n], "sum_value": [s]})
 
     return (
         stream.groupBy(key_col)

@@ -481,8 +481,12 @@ def era5_archive_fixture(root: str = "/root/repo/.cache") -> str:
     for path, (_m, h0, nh) in zip(names, months):
         g = (h0 + np.arange(nh))[:, None, None].astype(np.float64)
         arr = 200.0 + ix * 0.5 + iy * 0.25 + g * 0.125
+        # tmp + atomic rename, like every other fixture writer here: a
+        # crash mid-write would otherwise leave a truncated .nc that the
+        # all-exists guard above treats as complete forever
+        tmp = f"{path}.tmp-{os.getpid()}"
         write_netcdf3(
-            path,
+            tmp,
             dims=[("time", nh), ("latitude", ny), ("longitude", nx)],
             variables={
                 "time": (
@@ -496,6 +500,7 @@ def era5_archive_fixture(root: str = "/root/repo/.cache") -> str:
             },
             attrs={"title": "synthetic DatasetPool archive"},
         )
+        os.replace(tmp, path)
     return pattern
 
 

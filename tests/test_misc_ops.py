@@ -405,3 +405,64 @@ def test_validation_spec_default_max_none_applies(spark):
 
     df = spark.createDataFrame([(1.0,), (2.0,)], "value double")
     ValidationSpec(min=0.0, max=None, max_na_frac=0.0).apply(df)  # must not raise
+
+
+def test_doc_oracles_agree_on_degenerate_corpus(spark, tmp_path):
+    """doc_token_stats / doc_dedup_stats Spark vs DuckDB parity on a
+    corpus WITH NULL, empty, and sub-n-token docs — the degenerate shapes
+    the sf fixtures happen not to contain (latent oracle divergences were
+    found here: avg denominators and NULL-distinct counting)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    rows = []
+    for i in range(60):
+        if i % 10 == 0:
+            text = None
+        elif i % 10 == 1:
+            text = ""
+        elif i % 10 == 2:
+            text = "one"
+        else:
+            text = f"alpha beta gamma doc {i} " * (i % 4 + 1)
+        rows.append(
+            (i, text, "en" if i % 2 else "fr", f"s{i % 3}",
+             len(text) if text else 0)
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    (tmp_path / "d").mkdir()
+    pdf.to_parquet(str(tmp_path / "d" / "documents.parquet"), index=False)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/d/documents.parquet')"
+    )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    for k in ("doc_token_stats", "doc_dedup_stats"):
+        sdf = qs[k](spark, str(tmp_path / "d"))
+        scols = sorted(sdf.columns)
+        srows = sorted(
+            tuple(r[c] for c in scols) for r in sdf.collect()
+        )
+        ores = con.execute(osql[k])
+        ocols = [d[0] for d in ores.description]
+        odf = ores.fetchdf()[sorted(ocols)]
+        orows = sorted(tuple(r) for r in odf.itertuples(index=False))
+
+        def norm(rows):
+            return [
+                tuple(
+                    None
+                    if v is None or (isinstance(v, float) and v != v)
+                    else (round(v, 6) if isinstance(v, float) else v)
+                    for v in row
+                )
+                for row in rows
+            ]
+
+        assert norm(srows) == norm(orows), k

@@ -197,3 +197,26 @@ def test_streaming_fractional_tiles_match_batch(spark, tmp_path):
     ].tid
     assert len(interior) > 2000
     assert all(abs(sums[t] - 1.0) < 1e-6 for t in interior)
+
+
+def test_streaming_running_stats_long_key(spark, tmp_path):
+    """Non-string keys (user ids, phashes) must serialize: the declared
+    output field is string, so the kernel casts the key itself — a raw
+    int64 used to fail Arrow conversion at the first micro-batch."""
+    from geoglue_spark.streaming.stateful import streaming_running_stats
+
+    stream = _staged_stream(spark, tmp_path, "in_longkey")
+    out = streaming_running_stats(
+        stream.withColumn("k", (F.xxhash64("event_type") % 100)), "k", "value"
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stats_longkey")
+        .option("checkpointLocation", str(tmp_path / "ckpt_longkey"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM stats_longkey").toPandas()
+    assert len(got) > 0 and got.n.sum() > 0
