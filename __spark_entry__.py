@@ -28,13 +28,34 @@ def _ensure_shipped(spark: SparkSession) -> None:
     app = sc.applicationId
     if app in _SHIPPED:
         return
-    import shutil
+    import hashlib
     import tempfile
+    import zipfile
 
-    zip_base = os.path.join(tempfile.gettempdir(), f"geoglue_spark_pkg_{os.getpid()}")
-    zip_path = zip_base + ".zip"
+    # cache key = content fingerprint of the .py sources, NOT the pid:
+    # pids are reused, so a pid-named zip could ship STALE code to the
+    # workers after an edit (driver running new code, executors old).
+    # Only .py files ship — make_archive would also pack __pycache__.
+    pkg = os.path.join(_REPO, "geoglue_spark")
+    py_files = sorted(
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(pkg)
+        for f in fn
+        if f.endswith(".py")
+    )
+    h = hashlib.md5()
+    for f in py_files:
+        st = os.stat(f)
+        h.update(f"{os.path.relpath(f, _REPO)}:{st.st_mtime_ns}:{st.st_size};".encode())
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"geoglue_spark_pkg_{h.hexdigest()[:16]}.zip"
+    )
     if not os.path.exists(zip_path):
-        shutil.make_archive(zip_base, "zip", root_dir=_REPO, base_dir="geoglue_spark")
+        tmp = f"{zip_path}.tmp-{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for f in py_files:
+                zf.write(f, os.path.relpath(f, _REPO))
+        os.replace(tmp, zip_path)
     sc.addPyFile(zip_path)
     _SHIPPED.add(app)
 

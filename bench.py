@@ -6,7 +6,8 @@ Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
    "queries": {name: sec, ...}, "sf": ..., "assign_rows_per_sec": ...}
 
 --scaling mode: run the identical flagship assignment+zonal job at two
-parallelism levels (local[8] vs local[32]) on the same input and report
+parallelism levels (default local[1] vs local[4]; $SPARK_GRAFT_SCALING_LEVELS
+overrides — local[32] collapses on this VM, see BENCH/BASELINE.md) and report
 throughput at both plus scaling efficiency — the sandbox evidence for the
 north rule's two-cluster-size criterion (see BENCH/BASELINE.md).
 """
@@ -221,7 +222,7 @@ def run_fine_raster(spark, reps: int = 3) -> dict:
     }
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     from geoglue_spark import queries as Q
 
     names = [
@@ -301,8 +302,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             best = {k: min(v, best.get(k, v)) for k, v in meds.items()}
             probes.append(_flagship_job(spark, BENCH_ROWS // 10))
             if max(probes[-2], probes[-1]) <= threshold:
-                # calm window: this attempt's medians are trustworthy
-                best = meds
+                # calm window: stop retrying — but KEEP the accumulated
+                # per-query min. A probe-invisible Python-stage stall can
+                # inflate the clean attempt itself (documented below);
+                # overwriting with this attempt's medians would discard a
+                # faster dirty-window sample and silently inflate the
+                # headline total (steal/stalls only ever inflate, so min
+                # across attempts remains the right estimator).
                 clean = True
                 break
         if not clean:
@@ -396,7 +402,10 @@ def main_bench() -> None:
     )
     times["raster_zonal_fine"] = fine["sec"]
     total = round(sum(times.values()), 3)
-    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+    import re as _re
+
+    _m = _re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
+    sf = float(_m.group(1)) if _m else 0.1
     print(
         json.dumps(
             {

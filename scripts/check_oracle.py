@@ -46,7 +46,7 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
         return f"columns {sorted(a.columns)} != {sorted(b.columns)}"
     a, b = normalize(a), normalize(b)
     for c in a.columns:
-        if pd.api.types.is_float_dtype(a[c]):
+        if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
             bad = ~(
                 (a[c].isna() & b[c].isna())
                 | (abs(a[c] - b[c]) <= 1e-9 + 1e-9 * abs(b[c]))
@@ -71,6 +71,11 @@ def main() -> int:
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must NOT produce a silent "0 failures" success
+        print(f"ERROR: unknown query name(s) {sorted(unknown)}")
+        return 2
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

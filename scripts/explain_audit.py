@@ -66,11 +66,17 @@ MAX_SHUFFLES: dict[str, int] = {
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])  # flags like -v must not become name filters
     spark = get_spark("explain-audit", cores=4, shuffle_partitions=4)
     bad = 0
-    for name, fn in entrymod.queries().items():
+    registry = entrymod.queries()
+    unknown = only - set(registry)
+    if unknown:
+        print(f"ERROR: unknown query name(s) {sorted(unknown)}")
+        return 2
+    for name, fn in registry.items():
         if only and name not in only:
             continue
         df = fn(spark, sf_dir)
