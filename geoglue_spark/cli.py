@@ -487,11 +487,14 @@ def cmd_plot(args: argparse.Namespace) -> int:
             # slices into one image, each pixel taking whichever row
             # arrived last
             idxs = [int(x) for x in str(args.isel).split(",")]
-            if len(idxs) < len(non_spatial):
-                if len(non_spatial) > 1:
+            if len(idxs) != len(non_spatial):
+                # too FEW with >1 dim is ambiguous; too MANY means the
+                # user believes a dim exists that doesn't — both must
+                # error rather than silently truncate the zip
+                if len(non_spatial) > 1 or len(idxs) > len(non_spatial):
                     print(
                         f"ERROR: raster has non-spatial dims {non_spatial}; "
-                        f"pass one -i index per dim (e.g. -i 0,0)"
+                        f"pass exactly one -i index per dim (got {idxs})"
                     )
                     return 1
             for dim, idx in zip(non_spatial, idxs):

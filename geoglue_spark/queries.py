@@ -2149,7 +2149,11 @@ reach(id, r) AS (
 ),
 comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
 scored AS (
-  SELECT comp.component, comp.id, CAST(i.w * i.h AS DOUBLE) AS q
+  -- NULL quality coalesces to -infinity like cluster_winners: an
+  -- all-NULL cluster must still elect its min-id member, not vanish
+  -- through a never-matching q = max(q) join
+  SELECT comp.component, comp.id,
+         coalesce(CAST(i.w * i.h AS DOUBLE), '-infinity'::DOUBLE) AS q
   FROM comp JOIN imgs i ON i.image_id = comp.id
 ),
 best AS (SELECT component, max(q) AS bq FROM scored GROUP BY component),

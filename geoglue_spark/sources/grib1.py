@@ -126,13 +126,11 @@ def parse_grib1(path: str, params: set[int] | None = None) -> list[GribRecord]:
             scan_neg_j = not (scan & 0x40)
             lat0, lon0 = la1, lo1
             dlat = abs(la2 - la1) / max(nj - 1, 1)
-            # longitude span wraps at the antimeridian (GRIB permits
-            # lo2 < lo1 across 180°): a Fiji-like grid with lo1=177,
-            # lo2=-177 spans 6°, not 354°
-            _lspan = abs(lo2 - lo1)
-            if _lspan > 180.0:
-                _lspan = 360.0 - _lspan
-            dlon = _lspan / max(ni - 1, 1)
+            # longitude span wraps mod 360 (same formula as the GRIB2
+            # fallback): a Fiji-like grid with lo1=177, lo2=-177 spans 6°,
+            # while a global 0 -> 359.75 grid spans 359.75° — a naive
+            # ">180 means wrapped" flip would corrupt every global grid
+            dlon = ((lo2 - lo1) % 360.0) / max(ni - 1, 1)
             q += gds_len
         if flags & 0x40:  # BMS present
             bms_len = _i3(msg, q)

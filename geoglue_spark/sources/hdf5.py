@@ -646,12 +646,23 @@ def read_netcdf4_distributed(
                 glon, glat = np.meshgrid(lon, lat)
                 # time-less 2-D rasters carry NULL time — the SAME schema
                 # as read_netcdf3_distributed so mixed-container archives
-                # union cleanly (previously a KeyError here broke parity)
+                # union cleanly. The fallback applies ONLY to single-slice
+                # variables: a multi-slice array with no (findable) time
+                # coordinate would emit N overlapping rasters all stamped
+                # NaT — indistinguishable duplicates — so that case stays
+                # a loud error (e.g. the coordinate is named 'time', not
+                # the default 'valid_time': pass time_name=).
                 times = None
                 if time_name in f.datasets:
                     t = f.datasets[time_name]
                     times = decode_time(
                         t.read(), t.attrs.get("units", "seconds since 1970-01-01")
+                    )
+                elif arr.shape[0] > 1:
+                    raise KeyError(
+                        f"{time_name!r} not in {sorted(f.datasets)} but "
+                        f"{var!r} has {arr.shape[0]} slices — pass the "
+                        "file's actual time coordinate via time_name="
                     )
                 for i in range(arr.shape[0]):
                     yield pd.DataFrame(

@@ -136,3 +136,58 @@ def test_grib1_bitmap_section(tmp_path):
     np.testing.assert_allclose(v[[0, 2, 3, 5]], [300, 301, 302, 303])
     assert np.isnan(v[1]) and np.isnan(v[4])
     assert str(r.time).startswith("2020-01-01")
+
+
+def _mini_grib1(ni, nj, lo1_milli, lo2_milli, la1_milli=10_000, la2_milli=0):
+    """Hand-assembled minimal GRIB1 message: lat/lon GDS + nbits=0 BDS
+    (all values = reference 0.0) — just enough for the grid math."""
+
+    def i3(v):
+        v &= 0xFFFFFF
+        return bytes([(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF])
+
+    def s3(v):
+        return i3(v if v >= 0 else (0x800000 | abs(v)))
+
+    pds = bytearray(28)
+    pds[0:3] = i3(28)
+    pds[7] = 0x80  # GDS present
+    pds[8] = 167   # t2m
+    pds[12:17] = bytes([19, 1, 1, 0, 0])  # yy mm dd hh mi
+    pds[24] = 21   # century -> 2019
+    gds = bytearray(32)
+    gds[0:3] = i3(32)
+    gds[5] = 0  # lat/lon grid
+    gds[6:8] = ni.to_bytes(2, "big")
+    gds[8:10] = nj.to_bytes(2, "big")
+    gds[10:13] = s3(la1_milli)
+    gds[13:16] = s3(lo1_milli)
+    gds[17:20] = s3(la2_milli)
+    gds[20:23] = s3(lo2_milli)
+    gds[27] = 0x00  # scan: -j (north -> south)
+    bds = bytearray(11)
+    bds[0:3] = i3(11)  # flags 0, e_scale 0, IBM ref 0.0, nbits 0
+    total = 8 + len(pds) + len(gds) + len(bds) + 4
+    return (
+        b"GRIB" + i3(total) + bytes([1]) + bytes(pds) + bytes(gds)
+        + bytes(bds) + b"7777"
+    )
+
+
+def test_grib1_dlon_global_and_antimeridian(tmp_path):
+    """dlon must survive BOTH a global grid (span > 180 deg is legitimate)
+    and an antimeridian-crossing regional grid (lo2 < lo1 wraps mod 360).
+    A '>180 means wrapped' flip corrupted every global grid."""
+    from geoglue_spark.sources.grib1 import parse_grib1
+
+    # global: lo1=0, lo2=359.75, ni=1440 -> dlon 0.25
+    p = str(tmp_path / "global.grib")
+    open(p, "wb").write(_mini_grib1(1440, 3, 0, 359_750))
+    rec = parse_grib1(p)[0]
+    assert rec.dlon == pytest.approx(359.75 / 1439, rel=1e-9)
+
+    # antimeridian: lo1=177, lo2=-177, ni=25 -> span 6 deg, dlon 0.25
+    p2 = str(tmp_path / "fiji.grib")
+    open(p2, "wb").write(_mini_grib1(25, 3, 177_000, -177_000))
+    rec2 = parse_grib1(p2)[0]
+    assert rec2.dlon == pytest.approx(6.0 / 24, rel=1e-9)
