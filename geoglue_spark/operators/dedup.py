@@ -141,6 +141,7 @@ def phash_near_dupes(
     bucket_cap: int | None = 100_000,
     on_overflow: str = "raise",
     cache_bands: bool = True,
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Near-duplicate image pairs by phash Hamming distance.
 
@@ -175,6 +176,19 @@ def phash_near_dupes(
     materialization pass. At extreme input sizes (band rows ~ n_rows *
     n_bands * 24 B, MEMORY_AND_DISK) pass False to trade recomputation for
     zero cache footprint.
+
+    ``broadcast_threshold`` (r6): with the band table cached, its row
+    count is known (memoized, one count job per distinct input — the same
+    contract as ``embedding_near_dupes``); at or below the threshold the
+    self-join's build side broadcasts EXPLICITLY, keeping the pair join a
+    map-side hash probe over the cache partitions. Relying on planner
+    size estimates here is fragile: a mis-estimate demotes the join to a
+    shuffled one whose byte-small band exchange AQE then coalesces to a
+    handful of partitions — blind to the ~quadratic per-bucket pair
+    generation downstream (measured: the 632 M-candidate stage ran on 5
+    of 32 cores). Above the threshold (or with ``cache_bands=False``) the
+    join stays a shuffled equi-join — the correct 10^9-row shape, where a
+    broadcast would not fit an executor.
     """
     if n_bands is None:
         n_bands = max_hamming + 1
@@ -206,8 +220,14 @@ def phash_near_dupes(
             )
         ).alias("b"),
     ).select("_id", "_ph", "b.band_idx", "b.band")
+    small = False
     if cache_bands:
         bands = _scoped_cache(bands, "bands")
+        n_band_rows = _SIG_COUNTS.get(bands)
+        if n_band_rows is None:
+            n_band_rows = bands.count()
+            _SIG_COUNTS[bands] = n_band_rows
+        small = n_band_rows <= broadcast_threshold
 
     if bucket_cap is None:
         a = bands.alias("a")
@@ -219,7 +239,6 @@ def phash_near_dupes(
             .agg(F.count("*").alias("_bn"))
             .filter(F.col("_bn") > 1)  # singleton buckets yield no pairs
         )
-        guarded = bands.join(counts, ["band_idx", "band"])
         if on_overflow == "raise":
             msg = F.format_string(
                 "dedup banding bucket overflow: band_idx=%s band=%s holds %s rows "
@@ -228,21 +247,32 @@ def phash_near_dupes(
                 "escalate to a wider signature, or pass on_overflow='salt'",
                 F.col("band_idx"), F.col("band"), F.col("_bn"),
             )
-            # thread the check through the join KEY so Catalyst cannot prune it
-            guarded = guarded.withColumn(
+            # The check threads through the COUNTS side's join key (r6): it
+            # is still un-prunable (the key itself) and still lazy (the
+            # raise fires when the broadcast relation builds at execution),
+            # but raise_error no longer rides the BIG side's key
+            # expressions — with it there, every join in the pipeline fell
+            # out of whole-stage codegen and the 632 M-row pair join ran
+            # INTERPRETED (measured 2.5x slower end to end).
+            counts = counts.withColumn(
                 "band",
                 F.when(F.col("_bn") <= F.lit(bucket_cap), F.col("band")).otherwise(
                     F.raise_error(msg).cast("long")
                 ),
             )
-            a = guarded.drop("_bn").alias("a")
-            b = guarded.drop("_bn").alias("b")
+            guarded = bands.join(
+                counts.select("band_idx", "band"), ["band_idx", "band"]
+            )
+            a = guarded.alias("a")
+            b = guarded.alias("b")
             salt_eq = F.lit(True)
         else:  # salt: split hot buckets into _ns sub-buckets
             ns = F.greatest(
                 F.lit(1), F.ceil(F.col("_bn") / F.lit(float(bucket_cap)))
             ).cast("int")
-            guarded = guarded.withColumn("_ns", ns).drop("_bn")
+            guarded = bands.join(counts, ["band_idx", "band"]).withColumn(
+                "_ns", ns
+            ).drop("_bn")
             # side a picks ONE deterministic slot; side b replicates into all
             # _ns slots, so each (a, b) pair meets in exactly one slot
             a = guarded.withColumn(
@@ -253,21 +283,44 @@ def phash_near_dupes(
             ).drop("_ns").alias("b")
             salt_eq = F.col("a._sk") == F.col("b._sk")
 
+    # Exactly-once emission via the FIRST-matching-band filter (r6): a pair
+    # within Hamming h shares ~h/2+1 bands on average, so the former
+    # ``.distinct()`` shuffled every verified pair 3-4x over (measured
+    # 25.7 M pre-distinct rows for 8.85 M pairs at 50k near-dup docs).
+    # Band i matches iff the XOR's bit-range [start, start+width) is all
+    # zero, so "emit only from the first matching band" is a pure bit-math
+    # filter in the SAME codegen stage as the join — each qualifying pair
+    # survives exactly once (the matched band is zero by construction, so
+    # the CASE below never misses a joined row), and the distinct shuffle
+    # disappears from the plan. Salt mode composes: a pair meets in exactly
+    # one salt slot PER matching band, and this filter keeps one band.
+    xor = F.col("a._ph").bitwiseXOR(F.col("b._ph"))
+
+    def _band_zero(start: int, width: int):
+        if width >= 64:
+            return xor == 0
+        return (
+            F.shiftrightunsigned(xor, start).bitwiseAND(F.lit((1 << width) - 1)) == 0
+        )
+
+    first_band = F.when(_band_zero(*layout[0]), F.lit(0))
+    for i, (start, width) in enumerate(layout[1:], 1):
+        first_band = first_band.when(_band_zero(start, width), F.lit(i))
     pairs = (
         a.join(
-            b,
+            F.broadcast(b) if small else b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band") == F.col("b.band"))
             & salt_eq
             & (F.col("a._id") < F.col("b._id")),
         )
+        .filter(F.col("a.band_idx") == first_band)
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.bit_count(F.col("a._ph").bitwiseXOR(F.col("b._ph"))).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
     return pairs
 
@@ -526,15 +579,35 @@ def simhash_signatures(
         "_blank",
         F.concat(F.md5("_t"), F.md5(F.concat(F.col("_t"), F.lit("#")))).alias("_h"),
     )
+    # Bit-math votes (r6 optimization): the former per-bit
+    # ``substring(_h, b+1, 1) >= '8'`` aggregates allocated 60 UTF8String
+    # slices per token row (measured 5.4 s of the 6.1 s signature stage at
+    # 2.7 M tokens); instead the projection parses the 64-nibble hex into
+    # four 60-bit longs ONCE per row (15 nibbles each — fits a signed
+    # long) and each vote aggregate is a shiftright+AND on a long.
+    # IDENTICAL votes: nibble value >= 8 (top bit set) <=> lowercase hex
+    # char >= '8' ('8','9','a'-'f' are exactly values 8-15).
+    hm = hs.select(
+        "_id",
+        "_blank",
+        *[
+            F.expr(f"cast(conv(substring(_h, {c * 15 + 1}, 15), 16, 10) as bigint)").alias(
+                f"_m{c}"
+            )
+            for c in range(4)
+        ],
+    )
+
+    def _vote(b: int) -> str:
+        c, o = divmod(b, 15)  # chunk c holds nibbles c*15+1 .. c*15+15
+        return f"sum(shiftright(_m{c}, {4 * (14 - o) + 3}) & 1)"
+
     # F.expr strings keep expression construction to one py4j call per
     # aggregate / one for the whole signature assembly (Column-op chaining
     # costs seconds of driver time at 60 bits)
-    votes = hs.groupBy("_id", "_blank").agg(
+    votes = hm.groupBy("_id", "_blank").agg(
         F.count("*").alias("_n"),
-        *[
-            F.expr(f"sum(if(substring(_h, {b + 1}, 1) >= '8', 1, 0))").alias(f"_o{b}")
-            for b in range(n_bits)
-        ],
+        *[F.expr(_vote(b)).alias(f"_o{b}") for b in range(n_bits)],
     )
     sig = " + ".join(
         f"if(_o{b} * 2 > _n, {1 << b}L, 0L)" for b in range(n_bits)
@@ -690,9 +763,16 @@ def embedding_near_dupes(
     # the vector frame is THE shared input of both strategies: cached
     # (scope-managed) and counted once — the count both materializes the
     # cache and picks the strategy; memoized per cached frame so repeat
-    # construction over the same input stays job-free
+    # construction over the same input stays job-free. Starvation-gated
+    # spread (r6): a few-fat-file scan otherwise pins the signature UDF,
+    # the 79x probe explode AND the Arrow verify stage to 1-2 tasks
+    # (measured: the whole query ran on 2 of 32 cores); when the scan
+    # already has >= parallelism partitions the repartition is skipped, so
+    # a well-laid-out 10^9-row corpus pays no extra exchange.
     vecs_cached = _scoped_cache(
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        _spread_for_cpu(
+            df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_id"
+        ),
         "embedding_vecs",
     )
     n_vec = _SIG_COUNTS.get(vecs_cached)
@@ -754,6 +834,23 @@ def embedding_near_dupes(
         b_side,
         (F.col("a._probe") == F.col("b._sig")) & (F.col("a._id") < F.col("b._id")),
     ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    if small:
+        # r6: below the broadcast threshold the exact-cosine stage scores
+        # (id_a, id_b) against a driver-collected, L2-normalized matrix
+        # shipped ONCE as a Spark broadcast — the two vector re-joins
+        # disappear from the plan and the Arrow boundary carries 16 bytes
+        # per candidate instead of two 512-byte vectors (measured: the
+        # verify stage fell from 21.6 s to sub-second at 4.8 M candidates
+        # x 64 dims). The collect is bounded by ``broadcast_threshold``,
+        # i.e. exactly the rows the former plan collected into a
+        # broadcast-join relation anyway; above the threshold the shuffled
+        # join + pair-UDF path below is unchanged (the 10^9-vector shape).
+        cos_udf = _pair_cosine_by_id_udf(vecs_cached)
+        return (
+            cand_ids.withColumn("cosine", cos_udf(F.col("id_a"), F.col("id_b")))
+            .filter(F.col("cosine") >= min_cosine)
+            .select("id_a", "id_b", "cosine")
+        )
     # vectors enter the join ONLY here, at candidate-pair volume, read
     # from the SAME in-memory cache the signatures came from. Both
     # re-joins reference the SAME child plan (aliased, not re-projected),
@@ -761,8 +858,8 @@ def embedding_near_dupes(
     vecs = vecs_cached.select(
         F.col("_id").alias("_vid"), F.col("_v").alias("_vv")
     )
-    v1 = F.broadcast(vecs.alias("v1")) if small else vecs.alias("v1")
-    v2 = F.broadcast(vecs.alias("v2")) if small else vecs.alias("v2")
+    v1 = vecs.alias("v1")
+    v2 = vecs.alias("v2")
     cand = (
         cand_ids.join(v1, F.col("id_a") == F.col("v1._vid"))
         .join(v2, F.col("id_b") == F.col("v2._vid"))
@@ -777,6 +874,51 @@ def embedding_near_dupes(
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# (id-keyed pair scorers, weak-keyed on the cached vector frame like
+# _SIG_COUNTS: the collected matrix + broadcast + udf live exactly as long
+# as the scoped cache they mirror, and repeated plan constructions over the
+# same input reuse ONE udf object so plans stay Catalyst-sameResult)
+_PAIR_SCORERS: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def _pair_cosine_by_id_udf(vecs_cached: DataFrame):
+    """Exact pairwise cosine for (id_a, id_b) candidate rows, scored
+    against a driver-collected L2-normalized matrix broadcast once per
+    cached vector frame. Only valid on the small (<= broadcast_threshold)
+    path: the collect is the same rows the former per-join broadcast
+    relation held, shipped once instead of built twice, and the Arrow
+    boundary then carries ids only. Float math is bit-identical to
+    :func:`_cos_pair_udf` (same _normalize + float64 einsum + round 6)."""
+    memo = _PAIR_SCORERS.get(vecs_cached)
+    if memo is not None:
+        return memo
+    import pandas as pd
+
+    from .similarity import _normalize, _stack_vectors
+
+    pdf = vecs_cached.toPandas()
+    ids = pdf["_id"].to_numpy()
+    mat = _normalize(_stack_vectors(pdf["_v"]))
+    bc = vecs_cached.sparkSession.sparkContext.broadcast((ids, mat))
+    state: dict = {}
+
+    @F.pandas_udf("double")
+    def cos_ids(ida, idb):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        if "idx" not in state:  # once per task; O(n log n) on tiny ids
+            _ids, _mat = bc.value
+            state["idx"] = pd.Index(_ids)
+            state["mat"] = _mat
+        idx, m = state["idx"], state["mat"]
+        ia = idx.get_indexer(ida)
+        ib = idx.get_indexer(idb)
+        return pd.Series(np.round(np.einsum("ij,ij->i", m[ia], m[ib]), 6))
+
+    _PAIR_SCORERS[vecs_cached] = cos_ids
+    return cos_ids
 
 
 _COS_PAIR_UDF = None

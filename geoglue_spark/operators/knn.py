@@ -156,39 +156,67 @@ def knn_join(
         grid.ix_col(F.col(lon_col)).alias("px"),
         grid.iy_col(F.col(lat_col)).alias("py"),
     )
+    # starvation-gated spread (r6): a few-fat-file point scan otherwise
+    # runs the whole explode-free bucket join + haversine on 1-4 tasks
+    # (measured: the candidate stage held 4 of 32 cores at 1 M points);
+    # with >= parallelism input partitions this is a no-op, so a
+    # well-partitioned fact table pays no extra exchange at cluster scale.
+    target_par = points.sparkSession.sparkContext.defaultParallelism
+    if pts.rdd.getNumPartitions() < target_par:
+        pts = pts.repartition(target_par, *[F.col(c) for c in id_cols])
 
     deg_km = 111.19  # km per degree of latitude (spherical)
     out: DataFrame | None = None
     remaining = pts
     for stage, r in enumerate(ring_batches):
+        # r6: the 3x3 neighbourhood explode moved from the POINT side to
+        # the broadcast CENTROID side — each centroid registers under its
+        # own bucket key and its 8 neighbours (9x a tiny dim table), and
+        # each point probes with ONE key. The joined set is identical
+        # (|pb - cb| <= 1 per axis is symmetric), but the big side is no
+        # longer amplified 9x before the hash probe.
         cent_b = F.broadcast(
             cent_cells.withColumn(
-                "_bkey", _bucket_key(F.col("cx"), F.col("cy"), r)
+                "_bkey",
+                F.explode(
+                    F.array(
+                        *[
+                            _bucket_key(F.col("cx") + F.lit(i * r), F.col("cy") + F.lit(j * r), r)
+                            for i in (-1, 0, 1)
+                            for j in (-1, 0, 1)
+                        ]
+                    )
+                ),
             )
         )
         pbx = F.floor(F.col("px").cast("double") / F.lit(float(r))).cast("long")
         pby = F.floor(F.col("py").cast("double") / F.lit(float(r))).cast("long")
-        probe_keys = F.array(
-            *[
-                (pbx + F.lit(i)) * F.lit(_BKEY_SHIFT) + (pby + F.lit(j))
-                for i in (-1, 0, 1)
-                for j in (-1, 0, 1)
-            ]
+        is_last = stage == len(ring_batches) - 1
+        # columns the ranking stage actually needs: the id, the centroid id
+        # and the distance — plus _plat for the geodetic settle bound on
+        # non-final (or strict-final) stages. Everything else (grid
+        # indices, centroid coords, point coords) is dropped BEFORE the
+        # window exchange so the sort shuffles ~24 B rows, not ~100 B.
+        need_bound = (not is_last) or strict
+        keep_cols = [*id_cols, "admin_id", "dist_km"] + (
+            ["_plat"] if need_bound else []
         )
         cand = (
-            remaining.withColumn("_probe", F.explode(probe_keys))
+            remaining.withColumn(
+                "_probe", pbx * F.lit(_BKEY_SHIFT) + pby
+            )
             .join(cent_b, F.col("_probe") == F.col("_bkey"))
             .filter(
                 (F.abs(F.col("cx") - F.col("px")) <= r)
                 & (F.abs(F.col("cy") - F.col("py")) <= r)
             )
-            .drop("_probe", "_bkey")
             .withColumn(
                 "dist_km",
                 haversine_km_col(
                     F.col("_plon"), F.col("_plat"), F.col("clon"), F.col("clat")
                 ),
             )
+            .select(*keep_cols)
         )
         is_single_fast = (
             len(ring_batches) == 1
@@ -230,13 +258,17 @@ def knn_join(
             )
         w = Window.partitionBy(*id_cols).orderBy(F.col("dist_km"), F.col("admin_id"))
         whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ranked = (
-            cand.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k)
-            .withColumn("_kth_dist", F.max("dist_km").over(whole))
-            .withColumn("_n", F.count("*").over(whole))
+        ranked = cand.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= k
         )
-        is_last = stage == len(ring_batches) - 1
+        if need_bound:
+            # the settle/strict proof needs the kept k-th distance and the
+            # candidate count; on a plain final stage these two extra
+            # whole-partition window functions are a second Window pass
+            # over every candidate row — skipped (r6).
+            ranked = ranked.withColumn(
+                "_kth_dist", F.max("dist_km").over(whole)
+            ).withColumn("_n", F.count("*").over(whole))
         if is_last:
             settled = ranked
             if strict:

@@ -289,7 +289,12 @@ def test_embedding_near_dupes_shuffle_free_plan(spark):
     out = D.embedding_near_dupes(emb, min_cosine=0.9, strategy="lsh")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 0
-    assert plan.count("BroadcastHashJoin") >= 3
+    # r6: the exact-cosine stage scores (id_a, id_b) against a broadcast
+    # matrix, so the two vector re-joins are GONE — the candidate join is
+    # the plan's only join, and the verify stage is one Arrow eval over
+    # 16-byte id pairs instead of two 512-byte vector columns per row
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "ArrowEvalPython" in plan
     assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
     # identical vectors (equal signatures, pairwise hamming 0) — every
     # pair must appear exactly once despite 79 probes each
