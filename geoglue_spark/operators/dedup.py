@@ -306,6 +306,10 @@ def phash_near_dupes(
     first_band = F.when(_band_zero(*layout[0]), F.lit(0))
     for i, (start, width) in enumerate(layout[1:], 1):
         first_band = first_band.when(_band_zero(start, width), F.lit(i))
+    # conjunct order matters: the filters below fold into the join
+    # condition and evaluate left-to-right per matched pair — the Hamming
+    # test (2 bit ops, kills ~96 % of candidates here) must run BEFORE the
+    # 7-branch first-band CASE, which then only executes on survivors
     pairs = (
         a.join(
             F.broadcast(b) if small else b,
@@ -314,13 +318,13 @@ def phash_near_dupes(
             & salt_eq
             & (F.col("a._id") < F.col("b._id")),
         )
+        .filter(F.bit_count(xor) <= max_hamming)
         .filter(F.col("a.band_idx") == first_band)
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.bit_count(xor).alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
 
@@ -955,6 +959,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    assume_unique_pairs: bool = False,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``pairs``; ``component``
     is the MINIMUM node id reachable through the pair graph — a canonical,
@@ -978,16 +983,23 @@ def connected_components(
     only cost one extra confirmation join, never a wrong early stop).
     Raises if ``max_iter`` rounds don't converge (correctness-critical: a
     half-propagated labeling looks valid).
+
+    ``assume_unique_pairs`` (r6): every generator in this module emits each
+    canonical (a < b) pair exactly once, so the edge-dedup shuffle is a
+    no-op for them — callers that KNOW their pair list is duplicate-free
+    skip it (duplicate edges would not corrupt the result anyway, min() is
+    idempotent; the distinct only bounds join fan-out, which matters when
+    the pair list may repeat a pair millions of times).
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
-        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
-        .distinct()
-        .cache()
+    edges = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d")).unionByName(
+        pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
     )
+    if not assume_unique_pairs:
+        edges = edges.distinct()
+    edges = edges.cache()
     labels = edges.select(F.col("s").alias("id")).distinct().withColumn(
         "comp", F.col("id")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     numeric = dict(labels.dtypes)["comp"] in ("bigint", "int", "smallint", "tinyint")
     # decimal(38,0) sums: ANSI mode overflows int64 on summed 64-bit
     # hashes (and on numeric ids at ~10^9+ rows)
@@ -998,9 +1010,15 @@ def connected_components(
     )
     prev_sum = None
     for it in range(max_iter):
-        prop = edges.join(labels, edges["s"] == labels["id"]).select(
-            F.col("d").alias("id"), F.col("comp")
-        )
+        if it == 0:
+            # round 0: labels are the identity mapping by construction, so
+            # the edges-to-labels join is a rename — skipped (r6: one join
+            # stage less on the critical path of every invocation)
+            prop = edges.select(F.col("d").alias("id"), F.col("s").alias("comp"))
+        else:
+            prop = edges.join(labels, edges["s"] == labels["id"]).select(
+                F.col("d").alias("id"), F.col("comp")
+            )
         new = (
             labels.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp"))
         )
@@ -1022,7 +1040,10 @@ def connected_components(
                     F.col("n.comp"), F.coalesce(F.col("_cc"), F.col("n.comp"))
                 ).alias("comp"),
             )
-        jumped = new.localCheckpoint()
+        # non-eager: the checksum collect right below materializes the
+        # checkpoint inside its own job — eager=True paid one extra job
+        # per round for nothing (r6)
+        jumped = new.localCheckpoint(eager=False)
         cur_sum = jumped.agg(check.alias("s")).collect()[0].s
         if cur_sum == prev_sum:
             converged = numeric or (

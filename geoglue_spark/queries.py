@@ -120,7 +120,24 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(POINTS_FROM_EVENTS_SQL)
 
 
+def _spread_scan(df: DataFrame) -> DataFrame:
+    """Starvation-gated spread for CPU-amplified downstream stages (r6):
+    the driver testdata ships one file per table, so scans split at the
+    4 MB open-cost floor into a handful of partitions — the Arrow
+    ray-cast / decode stages downstream then hold 1-4 of the cores. When
+    the scan already has >= parallelism partitions (any real multi-file
+    fact table) this is a no-op, so nothing changes at cluster scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread (r6, measured): the keep kernel short-circuits interior
+    # cells, so the Arrow stage is cheap per row and the few-task scan is
+    # not the bottleneck — a forced repartition of 1 M points cost more
+    # than it recovered (1.17 s -> 2.8 s).
     cover, wkb, _ = _engine(spark)
     return assign_admin(_points(spark, sf_dir), cover, wkb, QUERY_GRID)
 
@@ -325,7 +342,11 @@ def q_image_tile_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import decode_stats
 
     cover, wkb, _ = _engine(spark)
-    imgs = _images(spark).filter(F.col("fmt") != "qnt")
+    # spread: the one-file fixture scans as a single partition, and the
+    # per-image codec work downstream is the expensive stage (decode-bound
+    # queries only — the assign-only image queries measured FASTER without
+    # the extra exchange)
+    imgs = _spread_scan(_images(spark).filter(F.col("fmt") != "qnt"))
     # assign FIRST (payload bytes stay JVM-side through the keep kernel),
     # then decode with admin_id carried through the same pipeline — one
     # scan, zero fact-table joins. Decoding separately and re-joining on
@@ -419,10 +440,13 @@ def q_image_tile_zonal_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cover, _, _ = _engine(spark)
     hw, hh = _TILE_W / 2, _TILE_H / 2
-    imgs = _images(spark).filter(
-        (F.col("fmt") != "qnt")
-        & (F.col("lon") - hw >= 100.0) & (F.col("lon") + hw <= 110.0)
-        & (F.col("lat") - hh >= 10.0) & (F.col("lat") + hh <= 20.0)
+    # spread before the decode stage: single-file fixture scan = 1 task
+    imgs = _spread_scan(
+        _images(spark).filter(
+            (F.col("fmt") != "qnt")
+            & (F.col("lon") - hw >= 100.0) & (F.col("lon") + hw <= 110.0)
+            & (F.col("lat") - hh >= 10.0) & (F.col("lat") + hh <= 20.0)
+        )
     )
     dec = decode_stats(imgs, carry=("lon", "lat"))
     tiles = dec.select(
@@ -517,6 +541,12 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # project the fact-side probe columns before the join (guide §2.3):
+    # the 2-column orders scan is ~1/5 the bytes, which both narrows any
+    # shuffle and lets the planner's size estimate pick a broadcast here
+    # (estimate-driven, NOT forced — at a scale where orders outgrows the
+    # threshold this degrades to the shuffled join unchanged)
+    orders = orders.select("o_orderkey", "o_custkey")
     return (
         rev.join(orders, rev.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -557,12 +587,17 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "ASIA")
         .select("n_nationkey", "n_name")
     )
+    # pre-filter + project the orders side (guide §2.3/§3): the one-year,
+    # 2-column orders scan is small enough for the planner to broadcast
+    # (estimate-driven, not forced), so lineitem is never shuffled; at a
+    # scale past the threshold this degrades to the same shuffled join
+    # the un-projected form produced
+    orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    ).select("o_orderkey", "o_custkey")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1995-01-01"))
-            & (F.col("o_orderdate") < F.lit("1996-01-01"))
-        )
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
@@ -1203,7 +1238,9 @@ def q_images_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pixel-exact pytest oracle in tests/test_images.py instead)."""
     from .operators.multimodal import decode_stats
 
-    imgs = _images(spark).filter(F.col("image_id") < f"img{2000:012d}")
+    imgs = _spread_scan(
+        _images(spark).filter(F.col("image_id") < f"img{2000:012d}")
+    )
     lossless = F.col("fmt") != "qnt"
     return decode_stats(imgs).select(
         "image_id",
@@ -2117,7 +2154,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     imgs = _images(spark)
     pairs = phash_near_dupes(imgs, "phash", "image_id", max_hamming=0)
-    comp = connected_components(pairs)
+    # phash pairs are canonical and emitted exactly once (first-matching-
+    # band filter), so the edge-dedup shuffle is skippable
+    comp = connected_components(pairs, assume_unique_pairs=True)
     return cluster_winners(
         comp,
         imgs.withColumn("_q", F.col("w") * F.col("h")),
