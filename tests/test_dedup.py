@@ -137,6 +137,50 @@ def test_phash_banding_recovers_mid_hamming_pairs(spark):
         D.phash_near_dupes(df, "phash", "image_id", max_hamming=8, n_bands=4)
 
 
+def test_first_band_filter_emits_each_pair_exactly_once(spark):
+    """r6: the pair join dedups by emitting only from the FIRST matching
+    band (bit filter) instead of a distinct shuffle. A pair matching in
+    EVERY band (identical hashes) and pairs matching in several bands
+    must still appear exactly once, with the right hamming."""
+    base = 0x0123456789ABCDE
+    rows = [
+        (0, base),
+        (1, base),                      # identical: matches all bands
+        (2, base ^ (1 << 2)),           # 1 bit off: matches all but one
+        (3, base ^ ((1 << 2) | (1 << 40))),  # 2 bits in 2 bands
+    ]
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+    out = D.phash_near_dupes(
+        df, "phash", "image_id", max_hamming=4, sig_bits=60
+    ).toPandas()
+    keys = list(map(tuple, out[["id_a", "id_b"]].values))
+    assert sorted(keys) == sorted(set(keys)), "duplicate pair emitted"
+    got = {(r.id_a, r.id_b): r.hamming for r in out.itertuples()}
+    assert got[(0, 1)] == 0 and got[(0, 2)] == 1 and got[(2, 3)] == 1
+    assert got[(0, 3)] == 2 and got[(1, 2)] == 1 and got[(1, 3)] == 2
+
+
+def test_connected_components_assume_unique_pairs_identical(spark):
+    """r6: assume_unique_pairs=True skips the edge-dedup shuffle; the
+    labeling must be identical to the default path on a unique pair list
+    (and on a DUPLICATED pair list the default still dedups)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    a = sorted(map(tuple, D.connected_components(pairs).toPandas().values.tolist()))
+    b = sorted(
+        map(
+            tuple,
+            D.connected_components(pairs, assume_unique_pairs=True)
+            .toPandas()
+            .values.tolist(),
+        )
+    )
+    assert a == b
+    assert {c for _, c in a} == {1, 10, 20}
+
+
 def test_dedup_determinism_across_partitionings(spark, docs):
     a = D.minhash_near_dupes(docs.repartition(1), "text", "doc_id", min_jaccard=0.2)
     b = D.minhash_near_dupes(docs.repartition(7), "text", "doc_id", min_jaccard=0.2)
